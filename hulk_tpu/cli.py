@@ -1,0 +1,323 @@
+"""The `hulk` command line: sketch | smash | version (+ index, extension).
+
+Flag names, shorthands and defaults mirror the reference CLI exactly
+(cmd/root.go:61-67, cmd/sketch.go:49-62, cmd/smash.go:52-59) so scripts
+written against Go HULK run unchanged.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+from hulk_tpu.version import HULK_COMPAT_VERSION
+
+log = logging.getLogger("hulk")
+
+_EXTS = ["fastq", "fq", "fasta", "fna", "fa"]
+
+
+def _default_outfile() -> str:
+    return "./hulk-" + time.strftime("%Y%m%d%H%M%S")
+
+
+def _setup_log(log_file: str | None) -> None:
+    # Go's log package format: "2009/01/23 01:23:23 message"
+    handler = (
+        logging.FileHandler(log_file) if log_file else logging.StreamHandler(sys.stdout)
+    )
+    handler.setFormatter(
+        logging.Formatter(fmt="%(asctime)s %(message)s", datefmt="%Y/%m/%d %H:%M:%S")
+    )
+    log.handlers.clear()
+    log.addHandler(handler)
+    log.setLevel(logging.INFO)
+
+
+def _error_check(msg: str) -> None:
+    log.error("ERROR---> %s", msg)
+    raise SystemExit(1)
+
+
+def _add_global_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-k", "--kmerSize", type=int, default=21, help="minimizer k-mer length")
+    p.add_argument(
+        "-o", "--outFile", type=str, default=_default_outfile(),
+        help="directory and basename for saving the outfile(s)",
+    )
+    p.add_argument("--log", dest="log_file", type=str, default="", help="filename for log file")
+    p.add_argument("-p", "--processors", type=int, default=1, help="number of processors to use")
+    p.add_argument("--profiling", action="store_true", help="write a JAX profiler trace")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    root = argparse.ArgumentParser(prog="hulk", description="Histosketching Using Little Kmers (TPU-native)")
+    sub = root.add_subparsers(dest="subcommand")
+
+    ps = sub.add_parser("sketch", help="Create a sketch from a set of reads")
+    _add_global_flags(ps)
+    ps.add_argument("-f", "--fastq", action="append", default=[], help="FASTQ file(s) to sketch (can also pipe in STDIN)")
+    ps.add_argument("--fasta", action="store_true", help="input is FASTA format")
+    ps.add_argument("-w", "--windowSize", type=int, default=9, help="minimizer window size")
+    ps.add_argument("-i", "--interval", type=int, default=0, help="size of k-mer sampling interval (0 = no interval)")
+    ps.add_argument("-s", "--sketchSize", type=int, default=50, help="size of sketch")
+    ps.add_argument("-x", "--decayRatio", type=float, default=1.0, help="decay ratio used for concept drift (1.0 = disabled)")
+    ps.add_argument("--stream", action="store_true", help="print sketches to STDOUT after every interval (log redirected to disk)")
+    ps.add_argument("-b", "--bannerLabel", type=str, default="blank", help="adds a label to the sketch object, for use with BANNER")
+    ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
+    ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
+
+    pm = sub.add_parser("smash", help="Smash a bunch of sketches and return a distance matrix")
+    _add_global_flags(pm)
+    pm.add_argument("-d", "--sketchDir", type=str, default="./", help="the directory containing the sketches to smash")
+    pm.add_argument("--recursive", action="store_true", help="recursively search the supplied sketch directory")
+    pm.add_argument("-a", "--algorithm", type=str, default="histosketch", help="which sketching algorithm to use [histosketch, kmv, khf]")
+    pm.add_argument("-m", "--metric", type=str, default="jaccard", help="which distance metric to use [jaccard, weightedjaccard]")
+    pm.add_argument("--bannerMatrix", action="store_true", help="write a matrix file for banner")
+
+    pv = sub.add_parser("version", help="prints current version and exits")
+    _add_global_flags(pv)
+
+    return root
+
+
+# ---- sketch ---------------------------------------------------------------
+
+def _split_fastq_args(vals: list[str]) -> list[str]:
+    out: list[str] = []
+    for v in vals:
+        out.extend([x for x in v.split(",") if x])
+    return out
+
+
+def run_sketch(args) -> None:
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import PipelineError, SketchConfig, run_sketch_pipeline
+
+    if args.stream and not args.log_file:
+        args.log_file = args.outFile + ".log"
+    _setup_log(args.log_file or None)
+
+    start = time.time()
+    log.info("this is hulk (version %s)", HULK_COMPAT_VERSION)
+    log.info("please cite Rowe et al. 2019, doi: https://doi.org/10.1186/s40168-019-0653-2")
+    log.info("starting the sketch subcommand")
+    log.info("checking parameters...")
+
+    fastq = _split_fastq_args(args.fastq)
+
+    # sketchParamCheck (cmd/sketch.go:185-214)
+    out_dir = os.path.dirname(args.outFile)
+    if out_dir and out_dir != ".":
+        os.makedirs(out_dir, mode=0o700, exist_ok=True)
+    nproc = os.cpu_count() or 1
+    if args.processors <= 0 or args.processors > nproc:
+        args.processors = nproc
+    if not fastq:
+        if sys.stdin.isatty():
+            _error_check("no STDIN found")
+        log.info("\tinput file: using STDIN")
+    else:
+        for f in fastq:
+            if not os.path.exists(f):
+                _error_check(f"file does not exist: {f}")
+            parts = f.split(".")
+            idx = -2 if parts[-1] == "gz" else -1
+            if parts[idx] not in _EXTS:
+                _error_check(f"file does not have recognised extension: {f}")
+
+    log.info("\tmode: %s", "FASTA" if args.fasta else "FASTQ")
+    log.info("\tno. processors: %d", args.processors)
+    log.info("\tminimizer k-mer size: %d", args.kmerSize)
+    log.info("\tminimizer window size: %d", args.windowSize)
+    log.info("\tsketch size: %d", args.sketchSize)
+    log.info("\tstreaming: %s", "enabled" if args.stream else "disabled")
+    if args.decayRatio == 1:
+        log.info("\tconcept drift: disabled")
+    else:
+        log.info("\tconcept drift: enabled")
+        log.info("\tdecay ratio: %.2f", args.decayRatio)
+    spectrum_size = args.kmerSize ** 4
+    log.info("\tnumber of bins in k-mer spectrum: %d", spectrum_size)
+    log.info("\tadding KHF sketch: %s", str(args.khf).lower())
+    log.info("\tadding KMV sketch: %s", str(args.kmv).lower())
+
+    cfg = SketchConfig(
+        kmer_size=args.kmerSize,
+        window_size=args.windowSize,
+        sketch_size=args.sketchSize,
+        spectrum_size=spectrum_size,
+        decay_ratio=args.decayRatio,
+        interval=args.interval,
+        fasta=args.fasta,
+        kmv=args.kmv,
+        khf=args.khf,
+        banner_label=args.bannerLabel,
+        file_name=(",".join(fastq) + ",") if fastq else "STDIN",
+    )
+
+    log.info("initialising sketching pipeline...")
+    log.info("finding minimizers...")
+    reads = stream_reads(fastq, fasta=args.fasta, stdin=None if fastq else sys.stdin.buffer)
+
+    prof = None
+    if args.profiling:
+        import jax
+
+        jax.profiler.start_trace("./hulk-profile")
+        prof = True
+    try:
+        result = run_sketch_pipeline(reads, cfg)
+    except PipelineError as e:
+        _error_check(str(e))
+        return
+    except ValueError as e:
+        _error_check(str(e))
+        return
+    finally:
+        if prof:
+            import jax
+
+            jax.profiler.stop_trace()
+
+    mean_rl = int(result.length_total / result.seq_count)
+    log.info("\tprocessed %d sequences in total", result.seq_count)
+    log.info("\tmean sequence length: %d", mean_rl)
+    log.info("\tfound %d minimizers", result.minimizer_count)
+    log.info("\thistosketching across %d bins", spectrum_size)
+    log.info("cleaning up...")
+
+    result.hulk_data.write_json(args.outFile + ".json")
+    log.info("\twritten sketch to disk: %s", args.outFile + ".json")
+    if args.stream:
+        sys.stdout.buffer.write(result.hulk_data.to_json_bytes())
+        sys.stdout.buffer.write(b"\n")
+    log.info("finished in %.6fs", time.time() - start)
+
+
+# ---- smash ----------------------------------------------------------------
+
+def run_smash(args) -> None:
+    import csv
+
+    from hulk_tpu.io.sketchio import (
+        AVAIL_ALGORITHMS,
+        SketchIOError,
+        collect_jsons,
+        load_hulk_data,
+    )
+    from hulk_tpu.sketch.distances import AVAIL_METRICS
+
+    _setup_log(args.log_file or None)
+    log.info("this is hulk (version %s)", HULK_COMPAT_VERSION)
+    log.info("starting the smash subcommand")
+
+    if args.metric not in AVAIL_METRICS:
+        _error_check(
+            f"supplied distance metric is not available: {args.metric}\n"
+            f"please select one of the following: {AVAIL_METRICS}"
+        )
+    if args.algorithm not in AVAIL_ALGORITHMS:
+        _error_check(
+            f"supplied algorithm not available: {args.algorithm}\n"
+            f"please select one of the following: {AVAIL_ALGORITHMS}"
+        )
+    out_dir = os.path.dirname(args.outFile)
+    if out_dir and out_dir != ".":
+        os.makedirs(out_dir, mode=0o700, exist_ok=True)
+    if not os.path.isdir(args.sketchDir):
+        _error_check(f"directory does not exist: {args.sketchDir}")
+
+    sketch_dir = args.sketchDir
+    if not sketch_dir.endswith("/"):
+        sketch_dir += "/"
+    try:
+        json_files = collect_jsons(sketch_dir, args.recursive)
+    except SketchIOError as e:
+        _error_check(str(e))
+        return
+    sketches = {}
+    for jf in json_files:
+        try:
+            sketches[jf] = load_hulk_data(jf)
+        except SketchIOError as e:
+            _error_check(str(e))
+            return
+    if len(sketches) < 2:
+        _error_check(
+            f"{len(sketches)} sketches found in the supplied directory, HULK needs at least 2 to smash!"
+        )
+
+    log.info("checking parameters and collecting sketches...")
+    log.info("\talgorithm: %s", args.algorithm)
+    log.info("\tk-mer size: %d", args.kmerSize)
+    log.info("\tcreate matrix for banner: %s", str(args.bannerMatrix).lower())
+    log.info("\tnumber of sketch objects: %d", len(sketches))
+    log.info("HULK SMASH!")
+
+    ordering = sorted(sketches.keys())
+    matrix_path = args.outFile + ".hulk-matrix.csv"
+    with open(matrix_path, "w", newline="") as fh:
+        wr = csv.writer(fh, lineterminator="\n")
+        wr.writerow(ordering)
+        for f1 in ordering:
+            row = []
+            for f2 in ordering:
+                try:
+                    d = sketches[f1].get_distance(
+                        sketches[f2], args.metric, args.kmerSize, args.algorithm
+                    )
+                except SketchIOError as e:
+                    _error_check(str(e))
+                    return
+                row.append(f"{100 - d * 100:.2f}")
+            wr.writerow(row)
+    log.info("\twritten similarity matrix to disk: %s", matrix_path)
+
+    if args.bannerMatrix:
+        banner_path = args.outFile + ".banner-matrix.csv"
+        with open(banner_path, "w", newline="") as fh:
+            wr = csv.writer(fh, lineterminator="\n")
+            for f1 in ordering:
+                try:
+                    obj = sketches[f1].find_sketch(args.kmerSize, args.algorithm)
+                except SketchIOError as e:
+                    _error_check(str(e))
+                    return
+                row = [str(int(v)) for v in obj.get_sketch()]
+                row.append(sketches[f1].banner)
+                wr.writerow(row)
+        log.info("\twritten banner matrix to disk: %s", banner_path)
+    log.info("finished")
+
+
+def _apply_platform_env() -> None:
+    """Honour JAX_PLATFORMS/HULK_PLATFORM even though this environment
+    pre-imports jax at interpreter startup (which makes the env var a no-op
+    for backend selection)."""
+    plat = os.environ.get("HULK_PLATFORM") or os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+
+def main(argv=None) -> int:
+    _apply_platform_env()
+    args = build_parser().parse_args(argv)
+    if args.subcommand == "sketch":
+        run_sketch(args)
+    elif args.subcommand == "smash":
+        run_smash(args)
+    elif args.subcommand == "version":
+        print(HULK_COMPAT_VERSION)
+    else:
+        build_parser().print_help()
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,111 @@
+"""Vectorised minimizer extraction — the framework's hottest op.
+
+Reimplements the semantics of the reference's rolling scan
+(src/minimizer/minimizer.go:96-204) as a data-parallel computation over a
+[reads, positions] batch, suitable for the TPU VPU: the sequential rolling
+k-mer update is replaced by a closed-form windowed OR (exact because Go's
+update is `(x<<2)|c` — an OR — so composition distributes), the monotonic
+queue by a sliding-window minimum, and the per-read set by sort+unique.
+
+Reference quirks reproduced bit-for-bit:
+  * ambiguous bases are NOT skipped; c=4 is shifted into both rolling k-mers,
+    deterministically corrupting the packing (minimizer.go:115-122,134-137)
+  * symmetric k-mers (fwd==rc) are skipped entirely (145-147)
+  * X = hash64(canonical)<<8 | uint64(int32(span)), span = min(i-w+2, k) —
+    including sign-extension when k<w makes the span negative (127-131,156-158)
+  * a read contributes each distinct minimizer value once (84,188-198); the
+    output is the per-read distinct set (sorted; order is irrelevant
+    downstream, as it was for Go's unordered set)
+  * reads shorter than w+k-1 are an error in the reference (59-76); here they
+    simply produce no minimizers and are reported via the short_mask so the
+    caller can replicate the reference's fatal behaviour.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import hulk_tpu._jax_config  # noqa: F401
+from hulk_tpu.hashes.hash64 import hash64_jnp
+
+_U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def minimizer_scan(codes, lengths, *, k: int, w: int):
+    """Per-read distinct minimizer values.
+
+    Args:
+      codes: [R, L] integer array of base codes (0-4; >=5 treated as pad).
+      lengths: [R] int32 read lengths.
+      k, w: k-mer and window sizes (static; 0<k<32, 0<w<257).
+
+    Returns:
+      values: [R, L] uint64, sorted ascending per read.
+      mask:   [R, L] bool, True for each distinct minimizer value.
+    """
+    R, L = codes.shape
+    c = codes.astype(jnp.uint64)
+    mask_int = (1 << (2 * k)) - 1
+    mask = jnp.uint64(mask_int)
+    pos = jnp.arange(L, dtype=jnp.int64)[None, :]  # [1, L]
+    in_read = pos < lengths[:, None].astype(jnp.int64)
+
+    # forward k-mer: OR_{j=0..k-1} c[i-j] << 2j  (left-pad contributes 0)
+    cf = jnp.concatenate([jnp.zeros((R, k - 1), dtype=jnp.uint64), c], axis=1)
+    fwd = jnp.zeros((R, L), dtype=jnp.uint64)
+    for j in range(k):
+        fwd = fwd | (cf[:, k - 1 - j : k - 1 - j + L] << (2 * j))
+    fwd = fwd & mask
+
+    # reverse k-mer: OR_{j=0..k} (3^c[i-j]) << (2(k-1)-2j), j=k term is >>2;
+    # left-pad with 3 so 3^pad == 0. No mask in the reference (uint64 carry
+    # of N-bits is part of the replicated behaviour).
+    comp = jnp.uint64(3) ^ jnp.concatenate(
+        [jnp.full((R, k), 3, dtype=jnp.uint64), c], axis=1
+    )
+    rc = jnp.zeros((R, L), dtype=jnp.uint64)
+    for j in range(k):
+        rc = rc | (comp[:, k - j : k - j + L] << (2 * (k - 1) - 2 * j))
+    rc = rc | (comp[:, 0:L] >> 2)  # j == k: only an N (code 4) survives
+
+    # span = min(i-w+2, k), then Go converts int32 span -> uint64 (sign-extends)
+    span = jnp.minimum(pos - (w - 2), k).astype(jnp.int64)
+    span_u = span.astype(jnp.uint64)
+    span_u = jnp.broadcast_to(span_u, (R, L))
+
+    nonsym = fwd != rc
+    valid = nonsym & (pos >= (k - 1)) & in_read
+
+    canonical = jnp.where(fwd > rc, rc, fwd)
+    hashed = hash64_jnp(canonical, mask_int)
+    x = (hashed << 8) | span_u
+    xm = jnp.where(valid, x, _U64MAX)
+
+    # sliding-window minimum over the trailing w positions
+    pxm = jnp.concatenate([jnp.full((R, w - 1), _U64MAX, dtype=jnp.uint64), xm], axis=1)
+    wmin = pxm[:, 0:L]
+    for d in range(1, w):
+        wmin = jnp.minimum(wmin, pxm[:, d : d + L])
+
+    report = valid & (pos >= (w - 1))
+
+    # per-read distinct values: sort reported values, keep first of each run
+    vals = jnp.where(report, wmin, _U64MAX)
+    svals = jnp.sort(vals, axis=1)
+    neq_prev = jnp.concatenate(
+        [jnp.ones((R, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
+    )
+    # A *real* value of U64MAX can occur when k<w (sign-extended negative
+    # span ORs to all-ones); keep one copy of the MAX run in that case.
+    has_real_max = jnp.any(report & (wmin == _U64MAX), axis=1, keepdims=True)
+    out_mask = neq_prev & ((svals != _U64MAX) | has_real_max)
+    return svals, out_mask
+
+
+def short_read_mask(lengths: np.ndarray, k: int, w: int) -> np.ndarray:
+    """Reads the reference would reject as fatal errors (len < w+k-1 or 0)."""
+    return (lengths < (w + k - 1)) | (lengths < 1)

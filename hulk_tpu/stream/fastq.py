@@ -1,0 +1,116 @@
+"""Host input pipeline: FASTQ/FASTA(.gz) streaming -> fixed-shape batches.
+
+Line-level behaviour mirrors the reference pipeline (src/pipeline/sketch.go):
+FASTQ reads are consumed 4 lines at a time with no validation beyond the '@'
+leader (DataStreamer + FastqHandler, sketch.go:40-161); FASTA mode
+accumulates sequence lines until the next '>' header; gzip is detected by
+filename suffix. Quality data is parsed but unused, as in the reference.
+
+Batches are padded to fixed shapes from a small set of length buckets so XLA
+compiles once per bucket rather than per batch.
+"""
+from __future__ import annotations
+
+import gzip
+import sys
+from typing import Iterable, Iterator
+
+from hulk_tpu.ops.encode import PackedReads, pack_reads
+
+
+class FastqError(ValueError):
+    pass
+
+
+def _open_lines(path: str) -> Iterator[bytes]:
+    fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
+    with fh:
+        for line in fh:
+            yield line.rstrip(b"\r\n")
+
+
+def stream_reads(paths: list[str], fasta: bool = False, stdin=None) -> Iterator[bytes]:
+    """Yield raw sequences (bytes) from files or STDIN, reference order."""
+    if stdin is not None or not paths:
+        source: Iterable[bytes] = (
+            line.rstrip(b"\r\n") for line in (stdin or sys.stdin.buffer)
+        )
+        yield from _parse(source, fasta)
+    else:
+        for p in paths:
+            yield from _parse(_open_lines(p), fasta)
+
+
+def _parse(lines: Iterable[bytes], fasta: bool) -> Iterator[bytes]:
+    if fasta:
+        header = None
+        seq = b""
+        for line in lines:
+            if len(line) == 0:
+                break  # reference FASTA loop breaks on empty line (sketch.go:104-105)
+            if line[0:1] == b">":
+                if header is not None:
+                    yield seq
+                header, seq = line, b""
+            else:
+                seq += line
+        if header is None:
+            raise FastqError("no FASTA records found")
+        yield seq
+    else:
+        group = []
+        for line in lines:
+            group.append(line)
+            if len(group) == 4:
+                l1, l2, _l3, _l4 = group
+                if not l1.startswith(b"@"):
+                    raise FastqError(
+                        f"read ID in fastq file does not begin with @: {l1.decode(errors='replace')}"
+                    )
+                yield l2
+                group = []
+        # trailing partial group is silently dropped (as in the reference,
+        # where FastqHandler only emits complete 4-line groups)
+
+
+DEFAULT_LENGTH_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 65536)
+
+
+def batch_reads(
+    reads: Iterator[bytes],
+    batch_size: int = 512,
+    length_buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+    cut_every: int | None = None,
+) -> Iterator[PackedReads]:
+    """Group reads into fixed-shape padded batches ([batch_size, bucket]
+    always, so XLA compiles once per bucket; unused rows have length 0 and
+    are inert in the kernels).
+
+    cut_every forces batch boundaries at global read indices that are
+    multiples of it (the `-i` interval flush boundary), so flushes happen at
+    deterministic positions regardless of batching.
+    """
+    buf: list[bytes] = []
+    cur_bucket = None
+    emitted = 0
+
+    def flush():
+        nonlocal buf, cur_bucket, emitted
+        if buf:
+            emitted += len(buf)
+            yield pack_reads(buf, pad_to=cur_bucket, n_reads=batch_size)
+            buf, cur_bucket = [], None
+
+    for r in reads:
+        L = len(r)
+        b = next((x for x in length_buckets if L <= x), None)
+        if b is None:
+            b = L  # oversize read: exact-size one-off compile
+        if cur_bucket is not None and (b != cur_bucket or len(buf) >= batch_size):
+            yield from flush()
+        if cur_bucket is None:
+            cur_bucket = b
+        buf.append(r)
+        if cut_every is not None and (emitted + len(buf)) % cut_every == 0:
+            yield from flush()
+    yield from flush()

@@ -1,0 +1,135 @@
+"""The sketch pipeline: reads -> minimizers -> spectrum -> histosketch.
+
+Replaces the reference's 4-process goroutine pipeline + boss/minion worker
+pool (src/pipeline/, SURVEY.md §2.3) with batched device computation: the
+minimizer scan runs as one jitted kernel over a [reads, positions] batch
+(parallelism from VPU lanes, not workers), binning/histogramming is
+vectorised, and the flush (spectrum -> histosketch) is the exact host scan.
+
+Determinism: the reference is only deterministic for p=1 (flush/in-flight
+race, boss.go:114); here interval boundaries are defined by global read index
+(batches are cut at interval multiples), so output is deterministic for any
+batching and equals the reference's p=1 behaviour.
+"""
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+
+from hulk_tpu.hashes.jumphash import jump_hash_np
+from hulk_tpu.io.sketchio import HULKData
+from hulk_tpu.ops.minimizer import minimizer_scan, short_read_mask
+from hulk_tpu.sketch.histosketch import HistoSketch
+from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
+from hulk_tpu.sketch.spectrum import KmerSpectrum
+from hulk_tpu.stream.fastq import batch_reads
+
+log = logging.getLogger("hulk")
+
+
+@dataclass
+class SketchConfig:
+    kmer_size: int = 21
+    window_size: int = 9
+    sketch_size: int = 50
+    spectrum_size: int = 0  # 0 -> k^4 (cmd/sketch.go:118)
+    decay_ratio: float = 1.0
+    interval: int = 0
+    fasta: bool = False
+    kmv: bool = False
+    khf: bool = False
+    banner_label: str = "blank"
+    file_name: str = ""
+    batch_size: int = 512
+    chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
+
+    def resolved_spectrum_size(self) -> int:
+        return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
+
+
+@dataclass
+class SketchResult:
+    hulk_data: HULKData
+    seq_count: int = 0
+    length_total: int = 0
+    minimizer_count: int = 0
+
+
+class PipelineError(ValueError):
+    pass
+
+
+def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResult:
+    k, w = cfg.kmer_size, cfg.window_size
+    if not 0 < k < 32:
+        raise PipelineError("k size must be: 0 < k < 32")
+    if not 0 < w < 257:
+        raise PipelineError("w must be: 0 < w < 257")
+    nbins = cfg.resolved_spectrum_size()
+
+    spectrum = KmerSpectrum(nbins)
+    hs = HistoSketch(k, cfg.sketch_size, nbins, cfg.decay_ratio)
+    kmv = KMVSketch(k, cfg.sketch_size) if cfg.kmv else None
+    khf = KHFSketch(k, cfg.sketch_size) if cfg.khf else None
+
+    seq_count = 0
+    length_total = 0
+    minimizer_count = 0
+    next_report = 100_000
+
+    def flush():
+        # boss.go:112-128: flush is a no-op on an untouched spectrum;
+        # otherwise dump (ascending bins) -> histosketch, then wipe
+        if spectrum.cardinality() != 0:
+            bins, freqs = spectrum.dump()
+            hs.add_elements(bins, freqs)
+            spectrum.wipe()
+
+    cut = cfg.interval if cfg.interval else None
+    for batch in batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut):
+        active = batch.lengths > 0
+        bad = short_read_mask(batch.lengths, k, w) & active
+        if bad.any():
+            raise PipelineError("sequence length must be >= w + k - 1")
+        vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
+        vals = np.asarray(vals)
+        mask = np.asarray(mask)
+        flat = vals[mask]
+        minimizer_count += int(flat.shape[0])
+        if flat.shape[0]:
+            spectrum.add_hashes(flat)
+            if kmv is not None:
+                kmv.add_hashes(flat)
+            if khf is not None:
+                khf.add_hashes(flat)
+        n_in_batch = int(active.sum())
+        seq_count += n_in_batch
+        length_total += int(batch.lengths.sum())
+        while seq_count >= next_report:
+            log.info("\tprocessed %d sequences", next_report)
+            next_report += 100_000
+        if cut is not None and seq_count % cut == 0 and n_in_batch > 0:
+            log.info("\treached interval %d -> histosketching", seq_count // cut)
+            flush()
+
+    log.info("generating final histosketch of k-mer spectra...")
+    flush()
+
+    if seq_count == 0:
+        raise PipelineError("no sequences received")
+
+    hulk_data = HULKData(filename=cfg.file_name, banner=cfg.banner_label)
+    hulk_data.add(hs)
+    if kmv is not None:
+        hulk_data.add(kmv)
+    if khf is not None:
+        hulk_data.add(khf)
+    return SketchResult(
+        hulk_data=hulk_data,
+        seq_count=seq_count,
+        length_total=length_total,
+        minimizer_count=minimizer_count,
+    )

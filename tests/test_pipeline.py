@@ -1,0 +1,109 @@
+"""End-to-end pipeline differential test at small scale: the full vectorised
+pipeline (minimizer -> jump binning -> spectrum -> histosketch flush) vs a
+literal composition of the scalar oracles, plus interval-flush semantics."""
+import numpy as np
+import pytest
+
+from hulk_tpu.hashes.cws import build_cws_tables
+from hulk_tpu.sketch.histosketch import HistoSketch
+from hulk_tpu.stream.pipeline import PipelineError, SketchConfig, run_sketch_pipeline
+from tests.oracle_minimizer import minimizers_of
+from tests.test_hashes import jump_scalar
+
+K, W, S = 11, 5, 8
+DIMS = K ** 4  # 14641
+
+RNG = np.random.default_rng(7)
+
+
+def mkreads(n, length=120):
+    return [bytes(RNG.choice(list(b"ACGT"), size=length).tolist()) for _ in range(n)]
+
+
+def oracle_spectrum(reads, nbins):
+    bins = np.zeros(nbins)
+    count = 0
+    for r in reads:
+        for m in minimizers_of(r, K, W):
+            bins[jump_scalar(m, nbins)] += 1
+            count += 1
+    return bins, count
+
+
+@pytest.fixture(scope="module")
+def tables():
+    return build_cws_tables(S, DIMS)
+
+
+def run_cfg(reads, tables, **kw):
+    cfg = SketchConfig(
+        kmer_size=K, window_size=W, sketch_size=S, spectrum_size=DIMS, **kw
+    )
+    import hulk_tpu.sketch.histosketch as hsmod
+
+    orig = hsmod.get_cws_tables
+    hsmod.get_cws_tables = lambda s, d: tables
+    try:
+        return run_sketch_pipeline(iter(reads), cfg)
+    finally:
+        hsmod.get_cws_tables = orig
+
+
+def test_pipeline_matches_oracle(tables):
+    reads = mkreads(200)
+    res = run_cfg(reads, tables, kmv=True, khf=True)
+    bins, count = oracle_spectrum(reads, DIMS)
+    assert res.minimizer_count == count
+    assert res.seq_count == 200
+
+    # oracle histosketch from the oracle spectrum
+    ids = np.nonzero(bins)[0].astype(np.int64)
+    hs = HistoSketch(K, S, DIMS, 1.0, tables=tables)
+    hs.add_elements(ids, bins[ids])
+
+    got_hs = dict(res.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(got_hs.get_sketch(), hs.get_sketch())
+    assert np.array_equal(got_hs.sketch_weights, hs.sketch_weights)
+
+    # KMV = bottom-k of all per-read-distinct minimizer values
+    allvals = []
+    for r in reads:
+        allvals.extend(minimizers_of(r, K, W))
+    exp_kmv = np.sort(np.array(allvals, dtype=np.uint64))[:S]
+    got_kmv = dict(res.hulk_data.signatures)["kmv"]
+    assert np.array_equal(got_kmv.get_sketch(), exp_kmv)
+
+
+def test_interval_flush_differs_and_is_batch_invariant(tables):
+    reads = mkreads(100)
+    r1 = run_cfg(reads, tables, interval=30)
+    r2 = run_cfg(reads, tables, interval=30, batch_size=7)
+    h1 = dict(r1.hulk_data.signatures)["histosketch"]
+    h2 = dict(r2.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.get_sketch(), h2.get_sketch())
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+
+    # oracle: three interval flushes (30/30/30) + final partial (10)
+    hs = HistoSketch(K, S, DIMS, 1.0, tables=tables)
+    for chunk in (reads[0:30], reads[30:60], reads[60:90], reads[90:100]):
+        bins, _ = oracle_spectrum(chunk, DIMS)
+        ids = np.nonzero(bins)[0].astype(np.int64)
+        hs.add_elements(ids, bins[ids])
+    assert np.array_equal(h1.get_sketch(), hs.get_sketch())
+    assert np.array_equal(h1.sketch_weights, hs.sketch_weights)
+
+    # no-interval run gives a different sketch (single final histogram)
+    r0 = run_cfg(reads, tables)
+    h0 = dict(r0.hulk_data.signatures)["histosketch"]
+    assert not np.array_equal(h0.sketch_weights, h1.sketch_weights)
+
+
+def test_short_read_fatal(tables):
+    reads = [b"ACGTACGT"]  # < w+k-1
+    with pytest.raises(PipelineError, match="length"):
+        run_cfg(reads, tables)
+
+
+def test_no_reads_fatal(tables):
+    with pytest.raises(PipelineError, match="no sequences"):
+        run_cfg([], tables)

@@ -1,0 +1,164 @@
+"""Sketch-layer tests: spectrum semantics, CMS vs scalar reference behaviour,
+histosketch batch-vs-scalar equality, minhash variants, sketchio roundtrip."""
+import numpy as np
+import pytest
+
+from hulk_tpu.hashes.cws import build_cws_tables
+from hulk_tpu.io.sketchio import HULKData, SketchIOError, load_hulk_data, md5sum_u64
+from hulk_tpu.sketch.countmin import CountMinSketch, cms_shape
+from hulk_tpu.sketch.histosketch import HistoSketch
+from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
+from hulk_tpu.sketch.spectrum import KmerSpectrum, SpectrumError
+
+
+def test_cms_shape_matches_reference():
+    assert cms_shape() == (7, 2000)
+
+
+def test_cms_scalar_vs_batch():
+    rng = np.random.default_rng(0)
+    bins = rng.integers(0, 10000, 500, dtype=np.uint64)
+    freqs = rng.integers(1, 50, 500).astype(np.float64)
+    a = CountMinSketch()
+    esti_scalar = np.array([a.add(int(b), float(f)) for b, f in zip(bins, freqs)])
+    b = CountMinSketch()
+    from hulk_tpu.sketch.countmin import cms_row_bins
+
+    rb = cms_row_bins(bins, b.depth, b.width)
+    esti_batch = b.add_many(rb, freqs)
+    assert np.array_equal(esti_scalar, esti_batch)
+    assert np.array_equal(a.sketch, b.sketch)
+
+
+def test_cms_decay():
+    c = CountMinSketch(decay_ratio=0.5)
+    assert c.apply_scaling
+    v1 = c.add(42, 1.0)
+    v2 = c.add(42, 1.0)
+    # second add decays the old counter then increments: v2 = v1*e^-0.5 + 1
+    assert v2 == pytest.approx(v1 * c.decay_weight + 1.0, rel=0, abs=0)
+
+
+def test_spectrum_dump_rules():
+    s = KmerSpectrum(1000)
+    with pytest.raises(SpectrumError, match="empty"):
+        s.dump()
+    s.bins[5] = 3.0
+    with pytest.raises(SpectrumError, match="not used yet"):
+        s.dump()  # 1/1000 < 1%
+    s.bins[: 20] = 1.0
+    ids, freqs = s.dump()
+    assert ids.tolist() == list(range(20))
+    assert s.cardinality() == 20
+    s.wipe()
+    assert s.cardinality() == 0
+
+
+def test_histosketch_batch_matches_scalar():
+    dims = 512
+    tables = build_cws_tables(8, dims)
+    rng = np.random.default_rng(1)
+    bins = np.sort(rng.choice(dims, 64, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 30, 64).astype(np.float64)
+
+    h1 = HistoSketch(21, 8, dims, 1.0, tables=tables)
+    for b, f in zip(bins, freqs):
+        h1.add_element(int(b), float(f))
+    h2 = HistoSketch(21, 8, dims, 1.0, tables=tables)
+    h2.add_elements(bins, freqs)
+    assert np.array_equal(h1.sketch, h2.sketch)
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+
+
+def test_histosketch_concept_drift_batch_matches_scalar():
+    dims = 256
+    tables = build_cws_tables(6, dims)
+    rng = np.random.default_rng(2)
+    bins = np.sort(rng.choice(dims, 40, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 10, 40).astype(np.float64)
+    h1 = HistoSketch(21, 6, dims, 0.2, tables=tables)
+    for b, f in zip(bins, freqs):
+        h1.add_element(int(b), float(f))
+    h2 = HistoSketch(21, 6, dims, 0.2, tables=tables)
+    h2.add_elements(bins, freqs)
+    assert np.array_equal(h1.sketch, h2.sketch)
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+
+
+def test_histosketch_param_checks():
+    with pytest.raises(ValueError):
+        HistoSketch(32, 4, 100, 1.0)
+    with pytest.raises(ValueError):
+        HistoSketch(21, 4, 100, 1.5)
+    with pytest.raises(ValueError):
+        HistoSketch(21, 4, 1, 1.0)
+
+
+def test_kmv_bottom_k():
+    k = KMVSketch(21, 5)
+    vals = np.array([50, 10, 40, 10, 30, 20, 60, 5], dtype=np.uint64)
+    k.add_hashes(vals)
+    assert k.get_sketch().tolist() == [5, 10, 10, 20, 30]  # duplicates kept
+    k2 = KMVSketch(21, 5)
+    for v in vals:
+        k2.add_hash(int(v))
+    assert np.array_equal(k.get_sketch(), k2.get_sketch())
+    assert k.get_similarity(k2) == 1.0
+
+
+def test_khf():
+    h = KHFSketch(21, 4)
+    h.add_hashes(np.array([7, 3], dtype=np.uint64))
+    # slot i minimum of (1+i)*hv mod 2^64
+    exp = [min((1 + i) * 7 % 2**64, (1 + i) * 3 % 2**64) for i in range(4)]
+    assert h.get_sketch().tolist() == exp
+    h2 = KHFSketch(21, 4)
+    h2.add_hashes(np.array([3], dtype=np.uint64))
+    assert 0.0 <= h.get_similarity(h2) <= 1.0
+
+
+def test_md5sum_u64():
+    # matches Go helpers.MD5sum: little-endian words
+    import hashlib
+
+    arr = np.array([1, 2**63], dtype=np.uint64)
+    exp = hashlib.md5(arr.astype("<u8").tobytes()).hexdigest()
+    assert md5sum_u64(arr) == exp
+
+
+def test_sketchio_roundtrip(tmp_path):
+    dims = 256
+    tables = build_cws_tables(4, dims)
+    h = HistoSketch(21, 4, dims, 1.0, tables=tables)
+    h.add_elements(np.arange(10, dtype=np.int64), np.ones(10))
+    kmv = KMVSketch(21, 4)
+    kmv.add_hashes(np.array([2**63, 5, 9, 1, 7], dtype=np.uint64))
+    data = HULKData(filename="x.fq,", banner="lbl")
+    data.add(h)
+    data.add(kmv)
+    p = str(tmp_path / "s.json")
+    data.write_json(p)
+    loaded = load_hulk_data(p)
+    hs = loaded.find_sketch(21, "histosketch")
+    assert np.array_equal(hs.mins, h.get_sketch())
+    assert np.array_equal(hs.weights, h.sketch_weights)
+    km = loaded.find_sketch(21, "kmv")
+    assert km.mins.tolist() == [1, 5, 7, 9]  # sorted ascending, full u64 ok... bottom-4
+    # distances: identical files -> distance 0
+    assert loaded.get_distance(loaded, "jaccard", 21, "histosketch") == 0.0
+    assert loaded.get_distance(loaded, "weightedjaccard", 21, "histosketch") == 0.0
+
+
+def test_sketchio_validation(tmp_path):
+    p = str(tmp_path / "bad.json")
+    with open(p, "w") as fh:
+        fh.write('{"class":"nope","filename":"","hash_function":"x","license":"","signatures":[{"Algorithm":"khf","Sketch":{"ksize":21,"md5sum":"00","mins":[1],"num":1}}],"version":"1.0.0","banner_label":""}')
+    with pytest.raises(SketchIOError):
+        load_hulk_data(p)
+
+
+def test_empty_sketch_rejected():
+    data = HULKData()
+    kmv = KMVSketch(21, 4)  # never fed
+    with pytest.raises(SketchIOError, match="no sketch was generated"):
+        data.add(kmv)
