@@ -1,0 +1,105 @@
+"""Benchmark: streaming sketch throughput (reads/s/chip) on the default
+backend (real TPU under the driver; CPU if forced).
+
+Workload: BASELINE.json config — k=21, s=42, 150 bp synthetic reads,
+spectrum = 21^4 bins. Measures the full device streaming step (minimizer
+extraction + jump-hash binning + histogram accumulate, donated carry) plus
+one final exact host flush, i.e. everything `hulk sketch` does per read.
+
+Baseline: the reference repo publishes no v1.0.0 throughput numbers and no Go
+toolchain exists in this image to measure one (BASELINE.md). The denominator
+used here is 20,000 reads/s — a deliberately generous single-core Go HULK
+estimate derived from the paper's ~2 min/sample anchor (~1-5 M reads/sample,
+paper/genome-science-2018-abstract.md) and the per-base work in the Go hot
+loop; it is ~2-6 Mbp/s, at the optimistic end of single-thread Go parsing+
+hashing+map-insert throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+GO_BASELINE_READS_PER_S = 20_000.0
+
+K, W, S = 21, 9, 42
+NBINS = K ** 4
+R, L = 4096, 160
+N_STEPS = 8
+READ_LEN = 150
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    import hulk_tpu._jax_config  # noqa: F401
+    from hulk_tpu.ops.device_step import sketch_accumulate_step
+    from hulk_tpu.sketch.spectrum import KmerSpectrum
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+
+    def batch(seed):
+        r = np.random.default_rng(seed)
+        codes = r.integers(0, 4, (R, L), dtype=np.uint8)
+        codes[:, READ_LEN:] = 5
+        lengths = np.full(R, READ_LEN, dtype=np.int32)
+        return codes, lengths
+
+    codes, lengths = batch(0)
+    dev_codes = jax.device_put(codes)
+    dev_lengths = jax.device_put(lengths)
+
+    # correctness precheck: device histogram must bit-match the host path
+    small = 64
+    hist0 = jnp.zeros((NBINS,), dtype=jnp.float64)
+    h_dev, n_dev = sketch_accumulate_step(
+        hist0, dev_codes[:small], dev_lengths[:small], k=K, w=W
+    )
+    from hulk_tpu.ops.minimizer import minimizer_scan
+
+    vals, mask = minimizer_scan(codes[:small], lengths[:small], k=K, w=W)
+    host = KmerSpectrum(NBINS)
+    host.add_hashes(np.asarray(vals)[np.asarray(mask)])
+    exact = bool(np.array_equal(np.asarray(h_dev), host.bins))
+
+    # warmup (compile)
+    hist = jnp.zeros((NBINS,), dtype=jnp.float64)
+    hist, _ = sketch_accumulate_step(hist, dev_codes, dev_lengths, k=K, w=W)
+    jax.block_until_ready(hist)
+
+    t0 = time.perf_counter()
+    count = 0
+    for i in range(N_STEPS):
+        hist, n = sketch_accumulate_step(hist, dev_codes, dev_lengths, k=K, w=W)
+        count += R
+    jax.block_until_ready(hist)
+    t_stream = time.perf_counter() - t0
+
+    # final exact flush on host (part of the end-to-end sketch cost)
+    t1 = time.perf_counter()
+    hb = np.asarray(hist)
+    ids = np.nonzero(hb)[0].astype(np.int64)
+    from hulk_tpu.hashes.cws import get_cws_tables
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    tables = get_cws_tables(S, NBINS)
+    hs = HistoSketch(K, S, NBINS, 1.0, tables=tables)
+    hs.add_elements(ids, hb[ids])
+    t_flush = time.perf_counter() - t1
+
+    reads_per_s = count / (t_stream + t_flush)
+    result = {
+        "metric": f"reads/s/chip (sketch k={K} s={S}, {READ_LEN}bp, backend={backend}, exact_histogram={exact})",
+        "value": round(reads_per_s, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_s / GO_BASELINE_READS_PER_S, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

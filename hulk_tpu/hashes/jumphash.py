@@ -54,8 +54,12 @@ def jump_hash_jnp(key, num_buckets: int):
         return key, b, j, active
 
     key = key.astype(jnp.uint64)
-    b0 = jnp.full(key.shape, -1, dtype=jnp.int64)
-    j0 = jnp.zeros(key.shape, dtype=jnp.int64)
+    # derive the carry from `key` so varying-axis types stay consistent when
+    # this runs inside shard_map (a constant-derived carry would be
+    # device-invariant while the loop outputs are varying)
+    zeros = jnp.zeros_like(key, dtype=jnp.int64)
+    b0 = zeros - 1
+    j0 = zeros
     active0 = j0 < n
     _, b, _, _ = jax.lax.while_loop(cond, body, (key, b0, j0, active0))
     return b.astype(jnp.int32)

@@ -1,0 +1,70 @@
+"""Sharding tests on the virtual 8-device CPU mesh: shard-count invariance of
+the histogram (psum merge is exact) and the sharded flush vs the host flush."""
+import jax
+import numpy as np
+import pytest
+
+from hulk_tpu.hashes.cws import build_cws_tables
+from hulk_tpu.ops.encode import pack_reads
+from hulk_tpu.parallel.mesh import (
+    make_sketch_mesh,
+    shard_tables,
+    sharded_flush_step,
+    sharded_histogram_step,
+)
+from hulk_tpu.sketch.countmin import cms_shape
+from hulk_tpu.sketch.histosketch import HistoSketch
+from hulk_tpu.sketch.spectrum import KmerSpectrum
+
+K, W, S = 9, 5, 8
+NBINS = K ** 4
+
+RNG = np.random.default_rng(11)
+
+
+def mkbatch(r=64, l=96):
+    seqs = [bytes(RNG.choice(list(b"ACGT"), size=l).tolist()) for _ in range(r)]
+    return pack_reads(seqs, pad_to=l, n_reads=r), seqs
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_histogram_matches_host():
+    packed, seqs = mkbatch(64)
+    mesh = make_sketch_mesh(n_dp=8, n_mp=1)
+    step = sharded_histogram_step(mesh, NBINS, K, W)
+    hist, count = step(packed.codes, packed.lengths)
+    hist = np.asarray(hist)
+
+    host = KmerSpectrum(NBINS)
+    from hulk_tpu.ops.minimizer import minimizer_scan
+
+    vals, mask = minimizer_scan(packed.codes, packed.lengths, k=K, w=W)
+    host.add_hashes(np.asarray(vals)[np.asarray(mask)])
+    assert np.array_equal(hist, host.bins)
+    assert int(count) == int(np.asarray(mask).sum())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_mp_mesh_flush_close_to_host():
+    packed, _ = mkbatch(64)
+    mesh = make_sketch_mesh(n_dp=4, n_mp=2)
+    step = sharded_histogram_step(mesh, NBINS, K, W)
+    hist, _ = step(packed.codes, packed.lengths)
+
+    tables = build_cws_tables(S, NBINS)
+    depth, width = cms_shape()
+    flush = sharded_flush_step(mesh, tables, 0.0, False, depth, width)
+    c_sh, b_sh, er_sh = shard_tables(mesh, tables)
+    import jax.numpy as jnp
+
+    sk0 = jnp.zeros(S, dtype=jnp.int64)
+    w0 = jnp.full(S, np.finfo(np.float64).max)
+    sk, wts = flush(hist, sk0, w0, c_sh, b_sh, er_sh)
+
+    host = HistoSketch(K, S, NBINS, 1.0, tables=tables)
+    ids = np.nonzero(np.asarray(hist))[0].astype(np.int64)
+    host.add_elements(ids, np.asarray(hist)[ids])
+
+    # device flush uses XLA exp/log: bin choices must agree, weights to ~1 ULP
+    assert np.array_equal(np.asarray(sk, dtype=np.uint64), host.sketch)
+    np.testing.assert_allclose(np.asarray(wts), host.sketch_weights, rtol=1e-12)
