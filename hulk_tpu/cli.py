@@ -68,6 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-b", "--bannerLabel", type=str, default="blank", help="adds a label to the sketch object, for use with BANNER")
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
+    ps.add_argument("--hmh", "--hyperminhash", dest="hmh", action="store_true", help="also generate a HyperMinHash sketch (extension)")
 
     pm = sub.add_parser("smash", help="Smash a bunch of sketches and return a distance matrix")
     _add_global_flags(pm)
@@ -143,6 +144,8 @@ def run_sketch(args) -> None:
     log.info("\tnumber of bins in k-mer spectrum: %d", spectrum_size)
     log.info("\tadding KHF sketch: %s", str(args.khf).lower())
     log.info("\tadding KMV sketch: %s", str(args.kmv).lower())
+    if args.hmh:
+        log.info("\tadding HyperMinHash sketch: true")
 
     cfg = SketchConfig(
         kmer_size=args.kmerSize,
@@ -154,6 +157,7 @@ def run_sketch(args) -> None:
         fasta=args.fasta,
         kmv=args.kmv,
         khf=args.khf,
+        hmh=args.hmh,
         banner_label=args.bannerLabel,
         file_name=(",".join(fastq) + ",") if fastq else "STDIN",
     )

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 import hulk_tpu._jax_config  # noqa: F401
-from hulk_tpu.hashes.jumphash import jump_hash_jnp
+from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
 from hulk_tpu.ops.minimizer import minimizer_scan
 
 
@@ -27,12 +27,15 @@ from hulk_tpu.ops.minimizer import minimizer_scan
 def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int):
     """One streaming step: histogram += binned minimizers of this batch.
 
-    hist: [nbins] float64 (donated). Returns (hist, n_minimizers_in_batch).
+    hist: [nbins] int32 (donated; counts are exact integers — the host
+    converts to the reference's float64 spectrum losslessly). Uses the
+    integer-emulated jump hash so binning is bit-exact on TPU, where native
+    f64 divide is not correctly rounded. Returns (hist, n_minimizers).
     """
     nbins = hist.shape[0]
     vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
-    bins = jump_hash_jnp(vals, nbins)
-    contrib = mask.astype(jnp.float64)
+    bins = jump_hash_exact_jnp(vals, nbins)
+    contrib = mask.astype(jnp.int32)
     hist = hist.at[bins.reshape(-1)].add(contrib.reshape(-1))
     return hist, jnp.sum(mask)
 
@@ -41,6 +44,51 @@ def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int):
 def minimizer_values_step(codes, lengths, *, k: int, w: int):
     """Per-read distinct minimizer values + mask (for KMV/KHF feeds)."""
     return minimizer_scan(codes, lengths, k=k, w=w)
+
+
+# ---- compacted streaming step (the fast path) -----------------------------
+#
+# ~84% of [R, L] lanes are dead (padding / duplicate positions), but the
+# jump-hash while-loop pays full width until the slowest live lane converges.
+# Sorting the flattened values pushes all live values to the front (dead
+# lanes carry the U64MAX sentinel), the host reads the live count (a scalar)
+# and dispatches binning+scatter on the smallest bucket that covers it —
+# a 4-6x reduction in jump-hash/scatter width at the cost of one cheap sort.
+# Safe for k <= 27 (values < 2^63, so a real value can never equal the
+# sentinel); the pipeline falls back to the full-width path otherwise.
+
+_U64SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def minimizer_sorted_flat(codes, lengths, *, k: int, w: int):
+    """-> (sorted flat values with U64MAX sentinels, live count)."""
+    vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
+    flat = jnp.where(mask, vals, _U64SENT).reshape(-1)
+    return jnp.sort(flat), jnp.sum(mask)
+
+
+@partial(jax.jit, static_argnames=(), donate_argnums=(0,))
+def bin_scatter_slice(hist, svals):
+    """Bin a compacted slice and scatter-add into the histogram.
+
+    Dead sentinel lanes are remapped to key 0, which converges in one jump
+    iteration and scatters with weight 0.
+    """
+    nbins = hist.shape[0]
+    live = svals != _U64SENT
+    keys = jnp.where(live, svals, jnp.uint64(0))
+    bins = jump_hash_exact_jnp(keys, nbins)
+    hist = hist.at[bins].add(live.astype(jnp.int32))
+    return hist
+
+
+def live_bucket(count: int, total: int, r: int) -> int:
+    """Smallest padded slice size covering `count` live values."""
+    b = max(16 * r, 1024)
+    while b < count:
+        b *= 2
+    return min(b, total)
 
 
 def make_flush_fn(r_t, c_t, b_t, exp_r_t, decay_weight: float, apply_drift: bool):

@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 import hulk_tpu._jax_config  # noqa: F401
-from hulk_tpu.hashes.jumphash import jump_hash_jnp
+from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
 from hulk_tpu.ops.minimizer import minimizer_scan
 
 
@@ -45,9 +45,9 @@ def sharded_histogram_step(mesh: Mesh, nbins: int, k: int, w: int):
 
     def local_step(codes, lengths):
         vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
-        bins = jump_hash_jnp(vals, nbins)
-        hist = jnp.zeros((nbins,), dtype=jnp.float64)
-        hist = hist.at[bins.reshape(-1)].add(mask.astype(jnp.float64).reshape(-1))
+        bins = jump_hash_exact_jnp(vals, nbins)
+        hist = jnp.zeros((nbins,), dtype=jnp.int32)
+        hist = hist.at[bins.reshape(-1)].add(mask.astype(jnp.int32).reshape(-1))
         hist = jax.lax.psum(hist, axis_name="dp")
         count = jax.lax.psum(jnp.sum(mask), axis_name="dp")
         return hist, count
@@ -76,12 +76,13 @@ def sharded_flush_step(mesh: Mesh, tables, decay_weight: float, apply_drift: boo
         nbins = hist.shape[0]
         bin_ids = jnp.arange(nbins, dtype=jnp.uint64)
         row_bins = jnp.stack(
-            [jump_hash_jnp(bin_ids + jnp.uint64(d) * bin_ids, width) for d in range(depth)]
+            [jump_hash_exact_jnp(bin_ids + jnp.uint64(d) * bin_ids, width) for d in range(depth)]
         ).T  # [nbins, depth]
 
         def body(carry, xs):
             cms, sketch, weights = carry
             freq, rb, jbin = xs
+            freq = freq.astype(jnp.float64)
             live = freq != 0.0
             cms_in = jnp.where(live & apply_drift, cms * decay_weight, cms)
             rows = jnp.arange(depth)

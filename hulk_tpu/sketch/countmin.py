@@ -36,6 +36,38 @@ def cms_row_bins(elements: np.ndarray, depth: int, width: int) -> np.ndarray:
     return np.stack(rows, axis=0)
 
 
+_row_bins_table_cache: dict = {}
+
+
+def cms_row_bins_table(nbins: int, depth: int, width: int) -> np.ndarray:
+    """[depth, nbins] row positions for every spectrum bin id.
+
+    Spectrum bin ids are the only CMS elements in the pipeline and nbins is
+    fixed per run, so the whole table is computed once (and persisted beside
+    the CWS cache) instead of re-hashing on every flush."""
+    key = (nbins, depth, width)
+    if key in _row_bins_table_cache:
+        return _row_bins_table_cache[key]
+    import os
+
+    from hulk_tpu.hashes.cws import default_cache_dir
+
+    path = os.path.join(default_cache_dir(), f"cmsrows_n{nbins}_d{depth}_w{width}.npy")
+    if os.path.exists(path):
+        tab = np.load(path)
+    else:
+        tab = cms_row_bins(np.arange(nbins, dtype=np.uint64), depth, width)
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = path + f".tmp{os.getpid()}.npy"
+            np.save(tmp, tab)
+            os.replace(tmp, path)
+        except OSError:
+            pass
+    _row_bins_table_cache[key] = tab
+    return tab
+
+
 class CountMinSketch:
     def __init__(self, epsilon: float = EPSILON, delta: float = DELTA, decay_ratio: float = 1.0):
         self.depth, self.width = cms_shape(epsilon, delta)
@@ -65,10 +97,22 @@ class CountMinSketch:
         """Sequential batch add with precomputed per-row bins.
 
         row_bins: [depth, n] int32 (from cms_row_bins), increments: [n].
-        Returns the post-increment minima [n]. The loop is sequential because
+        Returns the post-increment minima [n]. The scan is sequential because
         estimates depend on prior elements via counter collisions
-        (see SURVEY.md §3.4), but each step is vectorised across rows.
+        (see SURVEY.md §3.4); it runs as a jitted lax.scan pinned to the CPU
+        backend (f64 there is IEEE, so the counter arithmetic is bit-equal to
+        the pure-NumPy loop, which remains below as the test oracle).
         """
+        q, out = _cms_scan_jax(
+            self.sketch, row_bins, increments.astype(np.float64),
+            self.decay_weight if self.apply_scaling else 0.0, self.apply_scaling,
+            self.depth,
+        )
+        self.sketch = np.asarray(q)
+        return np.asarray(out)
+
+    def add_many_reference(self, row_bins: np.ndarray, increments: np.ndarray) -> np.ndarray:
+        """Pure-NumPy sequential oracle for add_many (used by tests)."""
         n = increments.shape[0]
         out = np.empty(n, dtype=np.float64)
         rows = np.arange(self.depth)
@@ -82,3 +126,61 @@ class CountMinSketch:
             q[rows, cols] += increments[i]
             out[i] = q[rows, cols].min()
         return out
+
+
+def _next_bucket(n: int) -> int:
+    b = 1024
+    while b < n:
+        b *= 2
+    return b
+
+
+def _cms_scan_jax(sketch, row_bins, increments, decay_weight, scaling, depth):
+    """Run the sequential CMS scan under jit on the CPU backend."""
+    import jax
+    import jax.numpy as jnp
+
+    n = increments.shape[0]
+    m = _next_bucket(n)
+    rb = np.zeros((m, row_bins.shape[0]), dtype=np.int32)
+    rb[:n] = row_bins.T
+    inc = np.zeros(m, dtype=np.float64)
+    inc[:n] = increments
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        out_q, out_e = _cms_scan_compiled(depth, scaling)(
+            jnp.asarray(sketch), jnp.asarray(rb), jnp.asarray(inc),
+            jnp.float64(decay_weight),
+        )
+    return out_q, np.asarray(out_e)[:n]
+
+
+_cms_scan_fns: dict = {}
+
+
+def _cms_scan_compiled(depth: int, scaling: bool):
+    key = (depth, scaling)
+    if key in _cms_scan_fns:
+        return _cms_scan_fns[key]
+    import jax
+    import jax.numpy as jnp
+
+    rows = np.arange(depth)
+
+    @jax.jit
+    def run(q, rb, inc, dw):
+        def body(q, xs):
+            cols, f = xs
+            live = f != 0.0
+            if scaling:
+                q = jnp.where(live, q * dw, q)
+            q = q.at[rows, cols].add(jnp.where(live, f, 0.0))
+            esti = q[rows, cols].min()
+            return q, esti
+
+        q, estis = jax.lax.scan(body, q, (rb, inc))
+        return q, estis
+
+    _cms_scan_fns[key] = run
+    return run

@@ -76,31 +76,48 @@ class HistoSketch:
     def add_elements(self, bin_ids: np.ndarray, freqs: np.ndarray) -> None:
         """Flush a dumped spectrum (ascending bins) through the sketch.
 
-        Equivalent to add_element per (bin, freq) pair; CMS row positions are
-        precomputed in one vectorised pass, then the inherently-sequential
-        scan runs with vectorised per-slot inner updates.
+        Bit-identical to add_element per (bin, freq) pair, but restructured
+        for speed: the only true sequential dependency is the CMS counter
+        state (collisions), so phase 1 runs the cheap CMS scan alone; phase 2
+        computes every A_ka with one vectorised pass over [n_elements, s]
+        (this is where all the exp/log work is); phase 3 reduces — without
+        concept drift the Go replace-if-strictly-smaller loop is exactly
+        "min + first-argmin", with drift it is a light scan over elements.
         """
         if bin_ids.size == 0:
             return
-        row_bins = cms_row_bins(bin_ids.astype(np.uint64), self.cms.depth, self.cms.width)
+        n = bin_ids.shape[0]
+        from hulk_tpu.sketch.countmin import cms_row_bins_table
+
+        table = cms_row_bins_table(self.dimensions, self.cms.depth, self.cms.width)
+        row_bins = table[:, bin_ids]
         estis = self.cms.add_many(row_bins, freqs.astype(np.float64))
-        log_estis = go_log(estis)
-        b_t = self.cws.b
-        c_t = self.cws.c
-        er_t = self.cws.exp_r
-        drift = self.apply_concept_drift
-        dw = self.cms.decay_weight
+
+        # phase 2: A_ka for all (element, slot) pairs — [n, s]
+        b_t = self.cws.b[:, bin_ids]  # [s, n]
+        c_t = self.cws.c[:, bin_ids]
+        er_t = self.cws.exp_r[:, bin_ids]
+        log_estis = go_log(estis)  # [n]
+        with np.errstate(over="ignore", invalid="ignore"):
+            yka = go_exp(log_estis[None, :] - b_t)  # [s, n]
+            aka = c_t / (yka * er_t)  # [s, n]
+
         sketch = self.sketch
         weights = self.sketch_weights
-        with np.errstate(over="ignore"):  # MaxFloat64/decay -> +Inf, as in Go
-            for i in range(bin_ids.shape[0]):
-                jbin = int(bin_ids[i])
-                yka = go_exp(log_estis[i] - b_t[:, jbin])
-                aka = c_t[:, jbin] / (yka * er_t[:, jbin])
-                cur_min = weights / dw if drift else weights
-                better = aka < cur_min
-                sketch[better] = np.uint64(jbin)
-                weights[better] = aka[better]
+        with np.errstate(over="ignore"):
+            if not self.apply_concept_drift:
+                best = np.argmin(aka, axis=1)  # first index achieving the min
+                best_aka = aka[np.arange(aka.shape[0]), best]
+                better = best_aka < weights
+                sketch[better] = bin_ids[best[better]].astype(np.uint64)
+                weights[better] = best_aka[better]
+            else:
+                dw = self.cms.decay_weight
+                for i in range(n):
+                    cur_min = weights / dw
+                    better = aka[:, i] < cur_min
+                    sketch[better] = np.uint64(bin_ids[i])
+                    weights[better] = aka[better, i]
 
     # ---- accessors mirroring the SketchObject interface -------------------
 

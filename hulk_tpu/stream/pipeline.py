@@ -23,6 +23,7 @@ from hulk_tpu.hashes.jumphash import jump_hash_np
 from hulk_tpu.io.sketchio import HULKData
 from hulk_tpu.ops.minimizer import minimizer_scan, short_read_mask
 from hulk_tpu.sketch.histosketch import HistoSketch
+from hulk_tpu.sketch.hyperminhash import HyperMinHash
 from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
 from hulk_tpu.sketch.spectrum import KmerSpectrum
 from hulk_tpu.stream.fastq import batch_reads
@@ -41,6 +42,7 @@ class SketchConfig:
     fasta: bool = False
     kmv: bool = False
     khf: bool = False
+    hmh: bool = False  # HyperMinHash (beyond-reference extension)
     banner_label: str = "blank"
     file_name: str = ""
     batch_size: int = 512
@@ -74,6 +76,7 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
     hs = HistoSketch(k, cfg.sketch_size, nbins, cfg.decay_ratio)
     kmv = KMVSketch(k, cfg.sketch_size) if cfg.kmv else None
     khf = KHFSketch(k, cfg.sketch_size) if cfg.khf else None
+    hmh = HyperMinHash(k) if cfg.hmh else None
 
     seq_count = 0
     length_total = 0
@@ -105,6 +108,8 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
                 kmv.add_hashes(flat)
             if khf is not None:
                 khf.add_hashes(flat)
+            if hmh is not None:
+                hmh.add_hashes(flat)
         n_in_batch = int(active.sum())
         seq_count += n_in_batch
         length_total += int(batch.lengths.sum())
@@ -127,6 +132,8 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
         hulk_data.add(kmv)
     if khf is not None:
         hulk_data.add(khf)
+    if hmh is not None:
+        hulk_data.add(hmh)
     return SketchResult(
         hulk_data=hulk_data,
         seq_count=seq_count,

@@ -67,3 +67,15 @@ def test_jump_hash_distribution():
     bins = jump_hash_np(keys, 100)
     counts = np.bincount(bins, minlength=100)
     assert counts.min() > 1600 and counts.max() < 2400  # ~2000 each
+
+
+def test_jump_hash_exact_jnp_matches_np():
+    from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
+    import jax
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, U64, 100_000, dtype=np.uint64)
+    for n in (2, 2000, 194481, 2**31 - 1):
+        a = np.asarray(jax.jit(lambda k, n=n: jump_hash_exact_jnp(k, n))(keys))
+        b = jump_hash_np(keys, n)
+        assert np.array_equal(a, b), f"mismatch at n={n}"

@@ -33,7 +33,7 @@ def test_dp_histogram_matches_host():
     mesh = make_sketch_mesh(n_dp=8, n_mp=1)
     step = sharded_histogram_step(mesh, NBINS, K, W)
     hist, count = step(packed.codes, packed.lengths)
-    hist = np.asarray(hist)
+    hist = np.asarray(hist).astype(np.float64)
 
     host = KmerSpectrum(NBINS)
     from hulk_tpu.ops.minimizer import minimizer_scan
@@ -68,3 +68,25 @@ def test_dp_mp_mesh_flush_close_to_host():
     # device flush uses XLA exp/log: bin choices must agree, weights to ~1 ULP
     assert np.array_equal(np.asarray(sk, dtype=np.uint64), host.sketch)
     np.testing.assert_allclose(np.asarray(wts), host.sketch_weights, rtol=1e-12)
+
+
+def test_compact_stream_step_matches_host():
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        bin_scatter_slice,
+        live_bucket,
+        minimizer_sorted_flat,
+    )
+    from hulk_tpu.ops.minimizer import minimizer_scan
+
+    packed, _ = mkbatch(32, 96)
+    svals, cnt = minimizer_sorted_flat(packed.codes, packed.lengths, k=K, w=W)
+    b = live_bucket(int(cnt), 32 * 96, 32)
+    hist = bin_scatter_slice(jnp.zeros(NBINS, dtype=jnp.int32), svals[:b])
+
+    host = KmerSpectrum(NBINS)
+    vals, mask = minimizer_scan(packed.codes, packed.lengths, k=K, w=W)
+    host.add_hashes(np.asarray(vals)[np.asarray(mask)])
+    assert np.array_equal(np.asarray(hist).astype(np.float64), host.bins)
+    assert int(cnt) == int(np.asarray(mask).sum())

@@ -162,3 +162,110 @@ def test_empty_sketch_rejected():
     kmv = KMVSketch(21, 4)  # never fed
     with pytest.raises(SketchIOError, match="no sketch was generated"):
         data.add(kmv)
+
+
+def test_cms_add_many_jax_matches_reference():
+    rng = np.random.default_rng(3)
+    bins = rng.integers(0, 10000, 700, dtype=np.uint64)
+    freqs = rng.integers(1, 50, 700).astype(np.float64)
+    from hulk_tpu.sketch.countmin import cms_row_bins
+
+    for decay in (1.0, 0.3):
+        a = CountMinSketch(decay_ratio=decay)
+        b = CountMinSketch(decay_ratio=decay)
+        rb = cms_row_bins(bins, a.depth, a.width)
+        ea = a.add_many(rb, freqs)
+        eb = b.add_many_reference(rb, freqs)
+        assert np.array_equal(ea, eb)
+        assert np.array_equal(a.sketch, b.sketch)
+
+
+def test_cms_row_bins_table(tmp_path, monkeypatch):
+    monkeypatch.setenv("HULK_TPU_CACHE", str(tmp_path))
+    from hulk_tpu.sketch import countmin as cm
+
+    cm._row_bins_table_cache.clear()
+    t1 = cm.cms_row_bins_table(500, 7, 2000)
+    direct = cm.cms_row_bins(np.arange(500, dtype=np.uint64), 7, 2000)
+    assert np.array_equal(t1, direct)
+    cm._row_bins_table_cache.clear()
+    t2 = cm.cms_row_bins_table(500, 7, 2000)  # disk hit
+    assert np.array_equal(t1, t2)
+    cm._row_bins_table_cache.clear()
+
+
+def test_hyperminhash_estimates():
+    from hulk_tpu.sketch.hyperminhash import HyperMinHash
+
+    rng = np.random.default_rng(4)
+    a_set = rng.integers(0, 2**64, 20000, dtype=np.uint64)
+    b_extra = rng.integers(0, 2**64, 20000, dtype=np.uint64)
+    h1 = HyperMinHash(21)
+    h1.add_hashes(a_set)
+    # cardinality within ~10%
+    card = h1.cardinality()
+    assert 0.85 * 20000 < card < 1.15 * 20000
+    # self-similarity == 1
+    assert h1.get_similarity(h1) == 1.0
+    # half-overlapping set: J = 1/3
+    h2 = HyperMinHash(21)
+    h2.add_hashes(np.concatenate([a_set[:10000], b_extra]))
+    j = h1.get_similarity(h2)
+    assert 0.18 < j < 0.5  # true J = 10000/30000 = 0.333
+    # disjoint sets: J ~ 0
+    h3 = HyperMinHash(21)
+    h3.add_hashes(b_extra)
+    assert h1.get_similarity(h3) < 0.05
+    # merge = union
+    h4 = HyperMinHash(21)
+    h4.add_hashes(a_set[:10000])
+    h4.merge(h3)
+    assert np.array_equal(
+        h4.registers,
+        HyperMinHash(21).registers * 0 + np.maximum(
+            h2.registers * 0 + _regs(a_set[:10000]), _regs(b_extra)
+        ),
+    )
+
+
+def _regs(vals):
+    from hulk_tpu.sketch.hyperminhash import HyperMinHash
+
+    h = HyperMinHash(21)
+    h.add_hashes(vals)
+    return h.registers
+
+
+def test_hyperminhash_roundtrip(tmp_path):
+    from hulk_tpu.sketch.hyperminhash import HyperMinHash
+
+    rng = np.random.default_rng(5)
+    h = HyperMinHash(21)
+    h.add_hashes(rng.integers(0, 2**64, 5000, dtype=np.uint64))
+    data = HULKData(filename="f", banner="b")
+    data.add(h)
+    p = str(tmp_path / "hmh.json")
+    data.write_json(p)
+    loaded = load_hulk_data(p)
+    d_self = loaded.get_distance(loaded, "jaccard", 21, "hyperminhash")
+    assert d_self == 0.0
+
+
+def test_hyperminhash_low_bit_inputs():
+    """Minimizer values occupy only ~2k+8 low bits; the internal mixer must
+    spread them across buckets (regression: everything landed in bucket 0)."""
+    from hulk_tpu.sketch.hyperminhash import HyperMinHash
+
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 2**50, 20000, dtype=np.uint64)  # k=21-style values
+    b = rng.integers(0, 2**50, 20000, dtype=np.uint64)
+    ha, hb, hu = HyperMinHash(21), HyperMinHash(21), HyperMinHash(21)
+    ha.add_hashes(a)
+    hb.add_hashes(b)
+    hu.add_hashes(np.concatenate([a, a[:0], b]))
+    assert (ha.registers != 0).sum() > 900  # buckets actually populated
+    assert ha.get_similarity(hb) < 0.05  # disjoint
+    j = ha.get_similarity(hu)  # J = |A|/|A u B| ~ 0.5
+    assert 0.3 < j < 0.7
+    card = ha.cardinality()
+    assert 0.85 * 20000 < card < 1.15 * 20000
