@@ -78,6 +78,15 @@ def build_parser() -> argparse.ArgumentParser:
     pm.add_argument("-m", "--metric", type=str, default="jaccard", help="which distance metric to use [jaccard, weightedjaccard]")
     pm.add_argument("--bannerMatrix", action="store_true", help="write a matrix file for banner")
 
+    pi = sub.add_parser("index", help="Create or search an LSH Forest index of histosketches")
+    _add_global_flags(pi)
+    pi.add_argument("-r", "--run", type=str, required=True, help="index operation [create, add, search]")
+    pi.add_argument("-n", "--indexName", type=str, required=True, help="index file name")
+    pi.add_argument("-j", "--jsThresh", type=float, default=0.90, help="Jaccard similarity threshold for search")
+    pi.add_argument("-d", "--sketchDir", type=str, default="./", help="directory containing sketches to index/query")
+    pi.add_argument("--recursive", action="store_true", help="recursively search the supplied sketch directory")
+    pi.add_argument("-s", "--sketchSize", type=int, default=50, help="sketch size the index holds")
+
     pv = sub.add_parser("version", help="prints current version and exits")
     _add_global_flags(pv)
 
@@ -308,6 +317,65 @@ def _apply_platform_env() -> None:
         jax.config.update("jax_platforms", plat)
 
 
+# ---- index ----------------------------------------------------------------
+
+def run_index(args) -> None:
+    from hulk_tpu.index.lshforest import LSHForest, LSHIndexError
+    from hulk_tpu.io.sketchio import SketchIOError, collect_jsons, load_hulk_data
+
+    _setup_log(args.log_file or None)
+    log.info("this is hulk (version %s)", HULK_COMPAT_VERSION)
+    log.info("starting the index subcommand")
+    if args.run not in ("create", "add", "search"):
+        _error_check(f"unknown index operation: {args.run} (use create/add/search)")
+
+    sketch_dir = args.sketchDir
+    if not sketch_dir.endswith("/"):
+        sketch_dir += "/"
+
+    def load_mins():
+        out = []
+        for jf in collect_jsons(sketch_dir, args.recursive):
+            data = load_hulk_data(jf)
+            obj = data.find_sketch(args.kmerSize, "histosketch")
+            out.append((jf, obj.get_sketch()))
+        return out
+
+    try:
+        if args.run in ("create", "add"):
+            if args.run == "create":
+                entries = load_mins()
+                forest = LSHForest(
+                    kmer_size=args.kmerSize,
+                    sketch_size=len(entries[0][1]),
+                    jaccard_thresh=args.jsThresh,
+                )
+            else:
+                forest = LSHForest.load_json(args.indexName)
+                entries = load_mins()
+            for name, mins in entries:
+                forest.add(name, mins)
+            forest.write_json(args.indexName)
+            log.info(
+                "\tindexed %d sketches (bands=%d rows=%d) -> %s",
+                len(forest.names), forest.n_bands, forest.band_rows, args.indexName,
+            )
+        else:  # search
+            forest = LSHForest.load_json(args.indexName)
+            queries = load_mins()
+            for name, mins in queries:
+                hits = forest.search(mins, args.jsThresh)
+                if not hits:
+                    log.info("\tquery %s: no matches >= %.2f", name, args.jsThresh)
+                for hit, sim in hits:
+                    print(f"{name},{hit},{sim:.4f}")
+            log.info("\tsearched %d queries against %d entries", len(queries), len(forest.names))
+    except (LSHIndexError, SketchIOError) as e:
+        _error_check(str(e))
+        return
+    log.info("finished")
+
+
 def main(argv=None) -> int:
     _apply_platform_env()
     args = build_parser().parse_args(argv)
@@ -315,6 +383,8 @@ def main(argv=None) -> int:
         run_sketch(args)
     elif args.subcommand == "smash":
         run_smash(args)
+    elif args.subcommand == "index":
+        run_index(args)
     elif args.subcommand == "version":
         print(HULK_COMPAT_VERSION)
     else:
