@@ -54,7 +54,17 @@ def _cache_path(sketch_size: int, dims: int) -> str:
 
 
 def build_cws_tables(sketch_size: int, dims: int) -> CWSTables:
-    """Generate the tables from scratch (exact reference draw order)."""
+    """Generate the tables from scratch (exact reference draw order).
+
+    Uses the native generator when available (~20x faster; bit-identical —
+    cross-validated in tests/test_native.py), falling back to the Python
+    replica."""
+    from hulk_tpu import native
+
+    nat = native.cws_fill_native(sketch_size, dims) if native.available() else None
+    if nat is not None:
+        r, c, b, er = nat
+        return CWSTables(r=r, c=c, b=b, exp_r=er)
     n_cells = sketch_size * dims
     gammas = GammaGenerator(DISTRIBUTION_SEED).gamma_block(2 * n_cells)
     uniforms = GoRand(DISTRIBUTION_SEED).float64_block(n_cells)

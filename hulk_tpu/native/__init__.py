@@ -1,0 +1,171 @@
+"""Native runtime bindings (ctypes).
+
+Builds hulkrt.cpp with g++ on first use (cached in HULK_TPU_CACHE), exposing:
+  * go_exp/go_log (fdlibm ports, cross-validated against hashes/fdlibm.py)
+  * GoRand + CWS table fill (native, ~50x faster than the Python generator)
+  * hulk_flush_exact (the full exact flush loop)
+  * hulk_pack_fastq (FASTQ line parser + code packer)
+
+Everything has a pure-Python fallback; `available()` reports whether the
+native library loaded.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(__file__), "hulkrt.cpp")
+_lib = None
+_tried = False
+
+
+def _build_dir() -> str:
+    from hulk_tpu.hashes.cws import default_cache_dir
+
+    return default_cache_dir()
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    so_path = os.path.join(_build_dir(), "hulkrt.so")
+    try:
+        src_mtime = os.path.getmtime(_SRC)
+        if not os.path.exists(so_path) or os.path.getmtime(so_path) < src_mtime:
+            os.makedirs(_build_dir(), exist_ok=True)
+            tmp = so_path + f".tmp{os.getpid()}.so"
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-ffp-contract=off",
+                 "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, so_path)
+        lib = ctypes.CDLL(so_path)
+    except (OSError, subprocess.CalledProcessError):
+        _lib = None
+        return None
+
+    lib.hulk_go_exp.restype = ctypes.c_double
+    lib.hulk_go_exp.argtypes = [ctypes.c_double]
+    lib.hulk_go_log.restype = ctypes.c_double
+    lib.hulk_go_log.argtypes = [ctypes.c_double]
+    lib.hulk_gorand_sizeof.restype = ctypes.c_int32
+    lib.hulk_gorand_seed.argtypes = [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+    lib.hulk_gorand_float64.restype = ctypes.c_double
+    lib.hulk_gorand_float64.argtypes = [ctypes.c_void_p]
+    lib.hulk_gorand_int63.restype = ctypes.c_int64
+    lib.hulk_gorand_int63.argtypes = [ctypes.c_void_p]
+    lib.hulk_cws_fill.argtypes = [
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.hulk_flush_exact.argtypes = [
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_double,
+    ]
+    lib.hulk_pack_fastq.restype = ctypes.c_int64
+    lib.hulk_pack_fastq.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+# ---- CWS tables ------------------------------------------------------------
+
+def cws_fill_native(sketch_size: int, dims: int):
+    """Native CWS table generation; returns (r, c, b, exp_r) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    from hulk_tpu.hashes.gorand import _rng_cooked
+
+    cooked = np.ascontiguousarray(_rng_cooked().view(np.int64))
+    shape = (sketch_size, dims)
+    r = np.empty(shape)
+    c = np.empty(shape)
+    b = np.empty(shape)
+    er = np.empty(shape)
+    lib.hulk_cws_fill(sketch_size, dims, _ptr(cooked), _ptr(r), _ptr(c), _ptr(b), _ptr(er))
+    return r, c, b, er
+
+
+# ---- exact flush -----------------------------------------------------------
+
+def flush_exact_native(bins, freqs, row_bins, cms, c_t, b_t, er_t, sketch,
+                       weights, drift: bool, decay_weight: float) -> bool:
+    """Run the exact flush natively, mutating cms/sketch/weights in place.
+    Returns False (caller falls back) when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    n = bins.shape[0]
+    depth, width = cms.shape
+    s, dims = c_t.shape
+    bins64 = np.ascontiguousarray(bins, dtype=np.int64)
+    freqs64 = np.ascontiguousarray(freqs, dtype=np.float64)
+    rb = np.ascontiguousarray(row_bins.T, dtype=np.int32)  # [n, depth]
+    assert cms.flags.c_contiguous and sketch.flags.c_contiguous
+    assert weights.flags.c_contiguous
+    lib.hulk_flush_exact(
+        n, _ptr(bins64), _ptr(freqs64), _ptr(rb), _ptr(cms), depth, width,
+        s, dims, _ptr(c_t), _ptr(b_t), _ptr(er_t), _ptr(sketch), _ptr(weights),
+        1 if drift else 0, decay_weight,
+    )
+    return True
+
+
+# ---- FASTQ packing ---------------------------------------------------------
+
+class NativeFastqPacker:
+    """Streaming FASTQ parser+packer over decompressed chunks."""
+
+    def __init__(self, cap_reads: int, cap_len: int):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.cap_reads = cap_reads
+        self.cap_len = cap_len
+        self.phase = np.zeros(1, dtype=np.int32)
+        self._leftover = b""
+
+    def feed(self, chunk: bytes):
+        """Consume a chunk; yields (codes [R, L], lengths [R]) batches."""
+        data = self._leftover + chunk
+        # only whole lines go to the parser
+        cut = data.rfind(b"\n") + 1
+        self._leftover = data[cut:]
+        data = data[:cut]
+        buf = np.frombuffer(data, dtype=np.uint8)
+        pos = 0
+        out = []
+        while pos < buf.shape[0]:
+            codes = np.empty((self.cap_reads, self.cap_len), dtype=np.uint8)
+            lengths = np.zeros(self.cap_reads, dtype=np.int32)
+            consumed = np.zeros(1, dtype=np.int64)
+            nreads = self._lib.hulk_pack_fastq(
+                _ptr(buf[pos:]), buf.shape[0] - pos, _ptr(self.phase),
+                _ptr(codes), _ptr(lengths), self.cap_reads, self.cap_len,
+                _ptr(consumed),
+            )
+            pos += int(consumed[0])
+            if nreads == 0:
+                break
+            out.append((codes[:nreads], lengths[:nreads]))
+        return out

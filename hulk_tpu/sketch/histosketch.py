@@ -91,6 +91,17 @@ class HistoSketch:
 
         table = cms_row_bins_table(self.dimensions, self.cms.depth, self.cms.width)
         row_bins = table[:, bin_ids]
+
+        # native single-pass flush (bit-identical; tests/test_native.py)
+        from hulk_tpu import native
+
+        if native.available() and native.flush_exact_native(
+            bin_ids, freqs, row_bins, self.cms.sketch, self.cws.c, self.cws.b,
+            self.cws.exp_r, self.sketch, self.sketch_weights,
+            self.apply_concept_drift, self.cms.decay_weight,
+        ):
+            return
+
         estis = self.cms.add_many(row_bins, freqs.astype(np.float64))
 
         # phase 2: A_ka for all (element, slot) pairs — [n, s]

@@ -1,0 +1,107 @@
+"""Native runtime cross-validation: every native path must be bit-identical
+to its Python counterpart."""
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from hulk_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="g++ build failed")
+
+
+def test_native_fdlibm_bit_exact():
+    from hulk_tpu.hashes.fdlibm import go_exp, go_log
+
+    lib = native._load()
+    rng = np.random.default_rng(0)
+    xs = np.concatenate([
+        rng.uniform(-700, 700, 20000),
+        rng.uniform(-1e-3, 1e-3, 5000),
+    ])
+    for x in xs[:5000]:
+        assert lib.hulk_go_exp(float(x)) == float(go_exp(x))
+    ys = np.abs(xs) + 1e-300
+    for y in ys[:5000]:
+        assert lib.hulk_go_log(float(y)) == float(go_log(y))
+
+
+def test_native_gorand_stream():
+    import ctypes
+
+    from hulk_tpu.hashes.gorand import GoRand, _rng_cooked
+
+    lib = native._load()
+    st = ctypes.create_string_buffer(lib.hulk_gorand_sizeof())
+    cooked = np.ascontiguousarray(_rng_cooked().view(np.int64))
+    lib.hulk_gorand_seed(st, 1, cooked.ctypes.data_as(ctypes.c_void_p))
+    py = GoRand(1)
+    for _ in range(2000):
+        assert lib.hulk_gorand_int63(st) == py.int63()
+
+
+def test_native_cws_tables_match_python():
+    from hulk_tpu.hashes.cws import build_cws_tables
+
+    out = native.cws_fill_native(4, 256)
+    assert out is not None
+    r, c, b, er = out
+    t = build_cws_tables(4, 256)
+    assert np.array_equal(r, t.r)
+    assert np.array_equal(c, t.c)
+    assert np.array_equal(b, t.b)
+    assert np.array_equal(er, t.exp_r)
+
+
+@pytest.mark.parametrize("decay", [1.0, 0.4])
+def test_native_flush_matches_python(decay):
+    from hulk_tpu.hashes.cws import build_cws_tables
+    from hulk_tpu.sketch.countmin import cms_row_bins
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    dims = 512
+    tables = build_cws_tables(6, dims)
+    rng = np.random.default_rng(1)
+    bins = np.sort(rng.choice(dims, 100, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 20, 100).astype(np.float64)
+
+    h = HistoSketch(21, 6, dims, decay, tables=tables)
+    h.add_elements(bins, freqs)
+
+    h2 = HistoSketch(21, 6, dims, decay, tables=tables)
+    rb = cms_row_bins(bins.astype(np.uint64), h2.cms.depth, h2.cms.width)
+    ok = native.flush_exact_native(
+        bins, freqs, rb, h2.cms.sketch, tables.c, tables.b, tables.exp_r,
+        h2.sketch, h2.sketch_weights, h2.apply_concept_drift, h2.cms.decay_weight,
+    )
+    assert ok
+    assert np.array_equal(h.sketch, h2.sketch)
+    assert np.array_equal(h.sketch_weights, h2.sketch_weights)
+    assert np.array_equal(h.cms.sketch, h2.cms.sketch)
+
+
+def test_native_fastq_packer_matches_python():
+    from hulk_tpu.ops.encode import pack_reads
+    from hulk_tpu.stream.fastq import stream_reads
+
+    fixture = "/root/reference/testing/test-reads-small.fq.gz"
+    if not os.path.exists(fixture):
+        pytest.skip("fixture missing")
+    raw = gzip.open(fixture, "rb").read()
+
+    packer = native.NativeFastqPacker(cap_reads=256, cap_len=128)
+    got_codes, got_lengths = [], []
+    # feed in awkward chunk sizes to exercise boundary handling
+    for i in range(0, len(raw), 6_000):
+        for codes, lengths in packer.feed(raw[i : i + 6_000]):
+            got_codes.append(codes)
+            got_lengths.append(lengths)
+    got_codes = np.vstack(got_codes)
+    got_lengths = np.concatenate(got_lengths)
+
+    reads = list(stream_reads([fixture]))
+    exp = pack_reads(reads, pad_to=128)
+    assert got_codes.shape[0] == len(reads) == 1000
+    assert np.array_equal(got_lengths, exp.lengths)
+    assert np.array_equal(got_codes, exp.codes)
