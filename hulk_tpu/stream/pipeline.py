@@ -45,7 +45,7 @@ class SketchConfig:
     hmh: bool = False  # HyperMinHash (beyond-reference extension)
     banner_label: str = "blank"
     file_name: str = ""
-    batch_size: int = 512
+    batch_size: int = 2048
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
 
     def resolved_spectrum_size(self) -> int:

@@ -68,4 +68,4 @@ def test_cws_cache_roundtrip(tmp_path, monkeypatch):
     a = get_cws_tables(2, 32)
     b = get_cws_tables(2, 32)  # from cache
     assert np.array_equal(a.r, b.r) and np.array_equal(a.b, b.b)
-    assert len(list(tmp_path.iterdir())) == 1
+    assert len(list(tmp_path.iterdir())) == 4  # one .npy per matrix

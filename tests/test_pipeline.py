@@ -107,3 +107,21 @@ def test_short_read_fatal(tables):
 def test_no_reads_fatal(tables):
     with pytest.raises(PipelineError, match="no sequences"):
         run_cfg([], tables)
+
+
+def test_streaming_with_drift_matches_oracle(tables):
+    """BASELINE config 4 shape at test scale: interval flushes + concept
+    drift; result must equal chunked oracle flushes with the CMS state
+    carried across intervals."""
+    reads = mkreads(90)
+    r1 = run_cfg(reads, tables, interval=30, decay_ratio=0.8)
+    h1 = dict(r1.hulk_data.signatures)["histosketch"]
+
+    hs = HistoSketch(K, S, DIMS, 0.8, tables=tables)
+    for chunk in (reads[0:30], reads[30:60], reads[60:90]):
+        bins, _ = oracle_spectrum(chunk, DIMS)
+        ids = np.nonzero(bins)[0].astype(np.int64)
+        hs.add_elements(ids, bins[ids])
+    assert np.array_equal(h1.get_sketch(), hs.get_sketch())
+    assert np.array_equal(h1.sketch_weights, hs.sketch_weights)
+    assert bool(h1.apply_concept_drift) is True
