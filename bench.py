@@ -77,6 +77,22 @@ def main() -> None:
         b = live_bucket(int(cnt), R * L, R)
         return bin_scatter_slice(hist, svals[:b])
 
+    def stream_many(hist, batches):
+        """Software-pipelined: keep the next batch's scan in flight while the
+        current batch's live count is read back, hiding the sync."""
+        inflight = []
+        bi = 0
+        for codes_d, lengths_d in batches[: 2]:
+            inflight.append(minimizer_sorted_flat(codes_d, lengths_d, k=K, w=W))
+        for i in range(len(batches)):
+            if i + 2 < len(batches):
+                c_d, l_d = batches[i + 2]
+                inflight.append(minimizer_sorted_flat(c_d, l_d, k=K, w=W))
+            svals, cnt = inflight[i]
+            b = live_bucket(int(cnt), R * L, R)
+            hist = bin_scatter_slice(hist, svals[:b])
+        return hist
+
     # warmup (compile + host flush buffer pools)
     hist = jnp.zeros((NBINS,), dtype=jnp.int32)
     hist = stream_step(hist, dev_codes, dev_lengths)
@@ -91,10 +107,9 @@ def main() -> None:
     warm_hs.add_elements(wi, wb[wi])
 
     t0 = time.perf_counter()
-    count = 0
-    for i in range(N_STEPS):
-        hist = stream_step(hist, dev_codes, dev_lengths)
-        count += R
+    batches = [(dev_codes, dev_lengths)] * N_STEPS
+    hist = stream_many(hist, batches)
+    count = R * N_STEPS
     jax.block_until_ready(hist)
     t_stream = time.perf_counter() - t0
 

@@ -106,12 +106,15 @@ def jump_hash_exact_jnp(key, num_buckets: int):
         t = _bitlen(d) - 1  # floor(log2 d), 0..31
 
         # ---- q = RN(2^31/d): mantissa m, exponent e = 30-t ----------------
-        # numerator 2^(t+53); path A (t<=10) fits u64, path B goes via 2^63
-        sA = jnp.clip(t + 53, 0, 63).astype(U64)
-        numA = _u(1) << sA
-        uA, rA = _div_u64_by_u31(numA, d)
-
+        # numerator 2^(t+53); path A (t<=10) derives from the 2^63 division
+        # via floor(2^s/d) == floor(2^63/d) >> (63-s), path B refines upward
         u1, r1 = _div_u64_by_u31(jnp.full_like(d, (1 << 63)), d)
+
+        shA = jnp.clip(10 - t, 0, 10)  # 63 - (t+53) for path A
+        uA = _shr(u1, shA)
+        sA = jnp.clip(t + 53, 0, 63).astype(U64)
+        rA = (_u(1) << sA) - uA * d
+
         sh = jnp.clip(t - 10, 0, 20).astype(U64)  # s-63 for path B
         r1s = r1 << sh
         q2, rB = _div_u64_by_u31(r1s, d)

@@ -47,6 +47,7 @@ class SketchConfig:
     file_name: str = ""
     batch_size: int = 2048
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
+    device_stream: bool | None = None  # None -> auto (on when backend != cpu)
 
     def resolved_spectrum_size(self) -> int:
         return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
@@ -62,6 +63,76 @@ class SketchResult:
 
 class PipelineError(ValueError):
     pass
+
+
+class _DeviceStream:
+    """Device-resident spectrum + secondary-sketch accumulation.
+
+    Keeps the histogram (i32), KMV/KHF/HMH states on the accelerator; only
+    interval boundaries pull the (small) histogram to the host for the exact
+    flush. Bit-matches the host path (integer-exact ops throughout).
+    """
+
+    def __init__(self, cfg: SketchConfig, nbins: int):
+        import jax.numpy as jnp
+
+        self.cfg = cfg
+        self.nbins = nbins
+        self.hist = jnp.zeros(nbins, dtype=jnp.int32)
+        s = cfg.sketch_size
+        self.kmv_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.kmv else None
+        self.khf_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.khf else None
+        self.hmh_regs = None
+        if cfg.hmh:
+            from hulk_tpu.sketch.hyperminhash import DEFAULT_P
+
+            self.hmh_regs = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
+
+    def feed(self, batch) -> int:
+        import jax
+
+        from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
+        from hulk_tpu.ops.device_step import (
+            bin_scatter_slice,
+            live_bucket,
+            minimizer_sorted_flat,
+        )
+
+        cfg = self.cfg
+        codes = jax.device_put(batch.codes)
+        lengths = jax.device_put(batch.lengths)
+        svals, cnt = minimizer_sorted_flat(codes, lengths, k=cfg.kmer_size, w=cfg.window_size)
+        n = int(cnt)
+        b = live_bucket(n, batch.codes.shape[0] * batch.codes.shape[1], batch.codes.shape[0])
+        self.hist = bin_scatter_slice(self.hist, svals[:b])
+        if self.kmv_state is not None:
+            self.kmv_state = kmv_update(self.kmv_state, svals)
+        if self.khf_state is not None:
+            self.khf_state = khf_update(self.khf_state, svals)
+        if self.hmh_regs is not None:
+            from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
+
+            self.hmh_regs = hmh_update(
+                self.hmh_regs, svals[:b], p=DEFAULT_P, q=DEFAULT_Q, r=DEFAULT_R
+            )
+        return n
+
+    def drain_into(self, spectrum) -> None:
+        import jax.numpy as jnp
+
+        h = np.asarray(self.hist).astype(np.float64)
+        if h.any():
+            spectrum.add_dense(h)
+            self.hist = jnp.zeros(self.nbins, dtype=jnp.int32)
+
+    def collect(self, kmv, khf, hmh) -> None:
+        if kmv is not None and self.kmv_state is not None:
+            vals = np.asarray(self.kmv_state)
+            kmv._values = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
+        if khf is not None and self.khf_state is not None:
+            khf.sketch = np.asarray(self.khf_state).copy()
+        if hmh is not None and self.hmh_regs is not None:
+            hmh.registers = np.asarray(self.hmh_regs).copy()
 
 
 def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResult:
@@ -91,25 +162,39 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
             hs.add_elements(bins, freqs)
             spectrum.wipe()
 
+    import jax
+
+    use_device = cfg.device_stream
+    if use_device is None:
+        use_device = jax.default_backend() != "cpu"
+    if k > 27:
+        # the compacted device path uses U64MAX as a sentinel, which a real
+        # minimizer value can reach only when 2k+8 >= 64
+        use_device = False
+    dev = _DeviceStream(cfg, nbins) if use_device else None
+
     cut = cfg.interval if cfg.interval else None
     for batch in batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut):
         active = batch.lengths > 0
         bad = short_read_mask(batch.lengths, k, w) & active
         if bad.any():
             raise PipelineError("sequence length must be >= w + k - 1")
-        vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
-        vals = np.asarray(vals)
-        mask = np.asarray(mask)
-        flat = vals[mask]
-        minimizer_count += int(flat.shape[0])
-        if flat.shape[0]:
-            spectrum.add_hashes(flat)
-            if kmv is not None:
-                kmv.add_hashes(flat)
-            if khf is not None:
-                khf.add_hashes(flat)
-            if hmh is not None:
-                hmh.add_hashes(flat)
+        if dev is not None:
+            minimizer_count += dev.feed(batch)
+        else:
+            vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
+            vals = np.asarray(vals)
+            mask = np.asarray(mask)
+            flat = vals[mask]
+            minimizer_count += int(flat.shape[0])
+            if flat.shape[0]:
+                spectrum.add_hashes(flat)
+                if kmv is not None:
+                    kmv.add_hashes(flat)
+                if khf is not None:
+                    khf.add_hashes(flat)
+                if hmh is not None:
+                    hmh.add_hashes(flat)
         n_in_batch = int(active.sum())
         seq_count += n_in_batch
         length_total += int(batch.lengths.sum())
@@ -118,9 +203,14 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
             next_report += 100_000
         if cut is not None and seq_count % cut == 0 and n_in_batch > 0:
             log.info("\treached interval %d -> histosketching", seq_count // cut)
+            if dev is not None:
+                dev.drain_into(spectrum)
             flush()
 
     log.info("generating final histosketch of k-mer spectra...")
+    if dev is not None:
+        dev.drain_into(spectrum)
+        dev.collect(kmv, khf, hmh)
     flush()
 
     if seq_count == 0:

@@ -125,3 +125,31 @@ def test_streaming_with_drift_matches_oracle(tables):
     assert np.array_equal(h1.get_sketch(), hs.get_sketch())
     assert np.array_equal(h1.sketch_weights, hs.sketch_weights)
     assert bool(h1.apply_concept_drift) is True
+
+
+def test_device_stream_matches_host_path(tables):
+    """The device-resident stream (forced on, CPU backend) must produce
+    bit-identical sketches to the host path, including KMV/KHF/HMH."""
+    reads = mkreads(150)
+    r_host = run_cfg(reads, tables, kmv=True, khf=True, hmh=True,
+                     device_stream=False)
+    r_dev = run_cfg(reads, tables, kmv=True, khf=True, hmh=True,
+                    device_stream=True, batch_size=64)
+    assert r_host.minimizer_count == r_dev.minimizer_count
+    for algo in ("histosketch", "kmv", "khf", "hyperminhash"):
+        a = dict(r_host.hulk_data.signatures)[algo]
+        b = dict(r_dev.hulk_data.signatures)[algo]
+        assert np.array_equal(a.get_sketch(), b.get_sketch()), algo
+    ah = dict(r_host.hulk_data.signatures)["histosketch"]
+    bh = dict(r_dev.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(ah.sketch_weights, bh.sketch_weights)
+
+
+def test_device_stream_interval_matches(tables):
+    reads = mkreads(100)
+    r_host = run_cfg(reads, tables, interval=30, device_stream=False)
+    r_dev = run_cfg(reads, tables, interval=30, device_stream=True, batch_size=16)
+    a = dict(r_host.hulk_data.signatures)["histosketch"]
+    b = dict(r_dev.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(a.get_sketch(), b.get_sketch())
+    assert np.array_equal(a.sketch_weights, b.sketch_weights)
