@@ -272,21 +272,38 @@ def run_smash(args) -> None:
 
     ordering = sorted(sketches.keys())
     matrix_path = args.outFile + ".hulk-matrix.csv"
+
+    # Large sketch piles use the blocked device kernel (the reference's
+    # scalar N^2 loop is the smash hot spot, SURVEY.md §3.2); small piles
+    # keep the host path whose summation order is reference-exact.
+    device_matrix = None
+    if len(ordering) > 64 and args.algorithm != "hyperminhash":
+        try:
+            device_matrix = _smash_matrix_device(
+                sketches, ordering, args.metric, args.kmerSize, args.algorithm
+            )
+        except Exception as e:  # fall back to the host path on any failure
+            log.info("\tdevice matrix path unavailable (%s); using host path", e)
+
     with open(matrix_path, "w", newline="") as fh:
         wr = csv.writer(fh, lineterminator="\n")
         wr.writerow(ordering)
-        for f1 in ordering:
-            row = []
-            for f2 in ordering:
-                try:
-                    d = sketches[f1].get_distance(
-                        sketches[f2], args.metric, args.kmerSize, args.algorithm
-                    )
-                except SketchIOError as e:
-                    _error_check(str(e))
-                    return
-                row.append(f"{100 - d * 100:.2f}")
-            wr.writerow(row)
+        if device_matrix is not None:
+            for i in range(len(ordering)):
+                wr.writerow([f"{100 - d * 100:.2f}" for d in device_matrix[i]])
+        else:
+            for f1 in ordering:
+                row = []
+                for f2 in ordering:
+                    try:
+                        d = sketches[f1].get_distance(
+                            sketches[f2], args.metric, args.kmerSize, args.algorithm
+                        )
+                    except SketchIOError as e:
+                        _error_check(str(e))
+                        return
+                    row.append(f"{100 - d * 100:.2f}")
+                wr.writerow(row)
     log.info("\twritten similarity matrix to disk: %s", matrix_path)
 
     if args.bannerMatrix:
@@ -315,6 +332,25 @@ def _apply_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plat)
+
+
+def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
+    """[N, N] distance matrix via the blocked device kernels."""
+    import numpy as np
+
+    objs = [sketches[f].find_sketch(ksize, algo) for f in ordering]
+    mins = np.stack([np.asarray(o.get_sketch(), dtype=np.uint64) for o in objs])
+    if metric == "weightedjaccard":
+        from hulk_tpu.io.sketchio import _weights_of
+        from hulk_tpu.ops.distance import pairwise_weighted_jaccard_dist
+
+        weights = np.stack([_weights_of(o) for o in objs])
+        return np.asarray(
+            pairwise_weighted_jaccard_dist(mins.astype(np.int64), weights)
+        )
+    from hulk_tpu.ops.distance import pairwise_jaccard_sim
+
+    return 1.0 - np.asarray(pairwise_jaccard_sim(mins.astype(np.int64)))
 
 
 # ---- index ----------------------------------------------------------------

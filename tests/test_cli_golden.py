@@ -78,3 +78,37 @@ def test_smash_requires_two_sketches(tmp_path):
     shutil.copy(os.path.join(GOLDEN, "part1.json"), tmp_path / "only.json")
     with pytest.raises(SystemExit):
         run_cli(["smash", "-d", ".", "-o", "x"], tmp_path)
+
+
+def test_smash_device_matrix_matches_host(tmp_path):
+    """>64 sketches triggers the device matrix path; cells must match the
+    host path at CSV precision."""
+    import numpy as np
+
+    from hulk_tpu.hashes.cws import build_cws_tables
+    from hulk_tpu.io.sketchio import HULKData
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    dims = 256
+    tables = build_cws_tables(6, dims)
+    rng = np.random.default_rng(0)
+    for i in range(70):
+        h = HistoSketch(11, 6, dims, 1.0, tables=tables)
+        ids = np.sort(rng.choice(dims, 40, replace=False)).astype(np.int64)
+        h.add_elements(ids, rng.integers(1, 9, 40).astype(np.float64))
+        d = HULKData(filename=f"s{i}", banner="b")
+        d.add(h)
+        d.write_json(str(tmp_path / f"s{i:03d}.json"))
+    run_cli(["smash", "-d", ".", "-k", "11", "-m", "weightedjaccard", "-o", "dev"], tmp_path)
+    lines = (tmp_path / "dev.hulk-matrix.csv").read_text().splitlines()
+    assert len(lines) == 71
+    # spot-check against host computation
+    from hulk_tpu.io.sketchio import load_hulk_data
+
+    a = load_hulk_data(str(tmp_path / "s000.json"))
+    b = load_hulk_data(str(tmp_path / "s001.json"))
+    d_host = a.get_distance(b, "weightedjaccard", 11, "histosketch")
+    cell = lines[1].split(",")[1]
+    assert cell == f"{100 - d_host * 100:.2f}"
+    diag = lines[1].split(",")[0]
+    assert diag == "100.00"
