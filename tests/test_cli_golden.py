@@ -112,3 +112,72 @@ def test_smash_device_matrix_matches_host(tmp_path):
     assert cell == f"{100 - d_host * 100:.2f}"
     diag = lines[1].split(",")[0]
     assert diag == "100.00"
+
+
+def _mkfasta(path, n=300, length=150, seed=0):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    with open(path, "wb") as fh:
+        for i in range(n):
+            seq = bytes(rng.choice(list(b"ACGT"), size=length).tolist())
+            fh.write(b">contig%d desc\n" % i)
+            # multi-line records exercise the accumulate path
+            fh.write(seq[:70] + b"\n" + seq[70:] + b"\n")
+
+
+def test_sketch_fasta_mode(tmp_path):
+    _mkfasta(tmp_path / "x.fna")
+    run_cli(["sketch", "-f", "x.fna", "--fasta", "-k", "11", "-o", "fa", "-p", "1"], tmp_path)
+    import json
+
+    d = json.loads((tmp_path / "fa.json").read_text())
+    assert d["signatures"][0]["Sketch"]["ksize"] == 11
+    # multi-line accumulate == single-line equivalent
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    with open(tmp_path / "y.fna", "wb") as fh:
+        for i in range(300):
+            seq = bytes(rng.choice(list(b"ACGT"), size=150).tolist())
+            fh.write(b">contig%d desc\n" % i + seq + b"\n")
+    run_cli(["sketch", "-f", "y.fna", "--fasta", "-k", "11", "-o", "fb", "-p", "1"], tmp_path)
+    a = json.loads((tmp_path / "fa.json").read_text())["signatures"][0]["Sketch"]
+    b = json.loads((tmp_path / "fb.json").read_text())["signatures"][0]["Sketch"]
+    assert a["mins"] == b["mins"] and a["weights"] == b["weights"]
+
+
+def test_sketch_stdin(tmp_path):
+    import gzip
+
+    raw = gzip.open(FIXTURE, "rb").read()
+    run_cli(["sketch", "-o", "stdin_out", "-p", "1"], tmp_path, stdin_bytes=raw)
+    got = (tmp_path / "stdin_out.json").read_bytes()
+    exp = open(os.path.join(GOLDEN, "fixture-default.json"), "rb").read()
+    # identical except the filename field (STDIN vs path)
+    import json
+
+    g, e = json.loads(got), json.loads(exp)
+    assert g["filename"] == "STDIN"
+    assert g["signatures"] == e["signatures"]
+
+
+def test_sketch_multi_file_comma(tmp_path):
+    import gzip
+
+    raw = gzip.open(FIXTURE, "rb").read().decode()
+    lines = raw.splitlines()
+    half = len(lines) // 2
+    half -= half % 4
+    (tmp_path / "a.fq").write_text("\n".join(lines[:half]) + "\n")
+    (tmp_path / "b.fq").write_text("\n".join(lines[half:]) + "\n")
+    run_cli(["sketch", "-f", "a.fq,b.fq", "-o", "two", "-p", "1"], tmp_path)
+    run_cli(["sketch", "-f", "a.fq", "-f", "b.fq", "-o", "two2", "-p", "1"], tmp_path)
+    import json
+
+    g = json.loads((tmp_path / "two.json").read_text())
+    g2 = json.loads((tmp_path / "two2.json").read_text())
+    assert g["filename"] == "a.fq,b.fq,"
+    assert g["signatures"] == g2["signatures"]
+    e = json.loads(open(os.path.join(GOLDEN, "fixture-default.json")).read())
+    assert g["signatures"] == e["signatures"]  # same reads, same sketch
