@@ -73,8 +73,18 @@ class LSHForest:
             self.mins = np.empty((0, self.sketch_size), dtype=np.uint64)
         if not self.buckets:
             self.buckets = [dict() for _ in range(self.n_bands)]
+        self._pending: list = []
 
     # ---- construction ----------------------------------------------------
+
+    @property
+    def mins_matrix(self) -> np.ndarray:
+        """[N, s] rows; pending adds are materialised lazily (appending one
+        row at a time would be O(N^2) in copies)."""
+        if self._pending:
+            self.mins = np.vstack([self.mins] + self._pending)
+            self._pending = []
+        return self.mins
 
     def add(self, name: str, sketch_mins: np.ndarray) -> None:
         if sketch_mins.shape[0] != self.sketch_size:
@@ -83,7 +93,7 @@ class LSHForest:
             )
         idx = len(self.names)
         self.names.append(name)
-        self.mins = np.vstack([self.mins, sketch_mins.astype(np.uint64)[None, :]])
+        self._pending.append(sketch_mins.astype(np.uint64)[None, :])
         r = self.band_rows
         for bi in range(self.n_bands):
             key = _band_key(sketch_mins[bi * r : (bi + 1) * r])
@@ -105,7 +115,7 @@ class LSHForest:
         cand = self.candidates(query_mins)
         if cand.size == 0:
             return []
-        sims = (self.mins[cand] == query_mins[None, :]).mean(axis=1)
+        sims = (self.mins_matrix[cand] == query_mins[None, :]).mean(axis=1)
         keep = sims >= t
         order = np.argsort(-sims[keep])
         kept = cand[keep][order]
@@ -120,7 +130,7 @@ class LSHForest:
         t = self.jaccard_thresh if thresh is None else thresh
         q = query_mins.shape[0]
         all_mins = jnp.asarray(
-            np.vstack([self.mins, query_mins.astype(np.uint64)]).astype(np.int64)
+            np.vstack([self.mins_matrix, query_mins.astype(np.uint64)]).astype(np.int64)
         )
         sim = np.asarray(pairwise_jaccard_sim(all_mins))
         n = len(self.names)
@@ -146,7 +156,7 @@ class LSHForest:
             "n_bands": self.n_bands,
             "band_rows": self.band_rows,
             "names": self.names,
-            "mins": [[int(v) for v in row] for row in self.mins],
+            "mins": [[int(v) for v in row] for row in self.mins_matrix],
         }
         with open(path, "w") as fh:
             json.dump(doc, fh)

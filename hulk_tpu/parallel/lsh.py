@@ -50,7 +50,7 @@ def sharded_similarity(mesh: Mesh):
 def sharded_lsh_search(mesh: Mesh, forest, query_mins: np.ndarray, thresh: float | None = None):
     """Full sharded search: device ranking + host LSH candidate filter."""
     t = forest.jaccard_thresh if thresh is None else thresh
-    dev_index, n = shard_index_mins(mesh, forest.mins)
+    dev_index, n = shard_index_mins(mesh, forest.mins_matrix)
     rank = sharded_similarity(mesh)
     q = jnp.asarray(query_mins.astype(np.int64))
     sims = np.asarray(rank(q, dev_index))[:, :n]  # [Q, N]

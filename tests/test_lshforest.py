@@ -48,7 +48,7 @@ def test_roundtrip(tmp_path):
     forest.write_json(p)
     loaded = LSHForest.load_json(p)
     assert loaded.names == forest.names
-    assert np.array_equal(loaded.mins, forest.mins)
+    assert np.array_equal(loaded.mins_matrix, forest.mins_matrix)
     assert loaded.search(rows[2])[0][0] == "s2"
 
 
