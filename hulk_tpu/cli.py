@@ -173,7 +173,14 @@ def run_sketch(args) -> None:
 
     log.info("initialising sketching pipeline...")
     log.info("finding minimizers...")
-    reads = stream_reads(fastq, fasta=args.fasta, stdin=None if fastq else sys.stdin.buffer)
+    from hulk_tpu import native
+
+    if fastq and not args.fasta and native.available():
+        # native C++ parser feeds fixed-shape batches directly
+        cfg.input_paths = fastq
+        reads = None
+    else:
+        reads = stream_reads(fastq, fasta=args.fasta, stdin=None if fastq else sys.stdin.buffer)
 
     prof = None
     if args.profiling:

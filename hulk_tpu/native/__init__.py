@@ -134,19 +134,25 @@ def flush_exact_native(bins, freqs, row_bins, cms, c_t, b_t, er_t, sketch,
 # ---- FASTQ packing ---------------------------------------------------------
 
 class NativeFastqPacker:
-    """Streaming FASTQ parser+packer over decompressed chunks."""
+    """Streaming FASTQ parser+packer over decompressed chunks.
 
-    def __init__(self, cap_reads: int, cap_len: int):
+    Row stride adapts to the stream: batches allocate [cap_reads, stride]
+    with stride = the current read-length bucket; a read longer than the
+    stride rewinds the parser state and retries that range with a doubled
+    stride (rare — once per upward length jump)."""
+
+    def __init__(self, cap_reads: int, cap_len: int, initial_stride: int = 256):
         self._lib = _load()
         if self._lib is None:
             raise RuntimeError("native library unavailable")
         self.cap_reads = cap_reads
         self.cap_len = cap_len
+        self.stride = min(initial_stride, cap_len)
         self.phase = np.zeros(1, dtype=np.int32)
         self._leftover = b""
 
     def feed(self, chunk: bytes):
-        """Consume a chunk; yields (codes [R, L], lengths [R]) batches."""
+        """Consume a chunk; yields (codes [R, stride], lengths [R]) batches."""
         data = self._leftover + chunk
         # only whole lines go to the parser
         cut = data.rfind(b"\n") + 1
@@ -156,14 +162,24 @@ class NativeFastqPacker:
         pos = 0
         out = []
         while pos < buf.shape[0]:
-            codes = np.empty((self.cap_reads, self.cap_len), dtype=np.uint8)
+            saved_phase = int(self.phase[0])
+            codes = np.empty((self.cap_reads, self.stride), dtype=np.uint8)
             lengths = np.zeros(self.cap_reads, dtype=np.int32)
             consumed = np.zeros(1, dtype=np.int64)
             nreads = self._lib.hulk_pack_fastq(
                 _ptr(buf[pos:]), buf.shape[0] - pos, _ptr(self.phase),
-                _ptr(codes), _ptr(lengths), self.cap_reads, self.cap_len,
+                _ptr(codes), _ptr(lengths), self.cap_reads, self.stride,
                 _ptr(consumed),
             )
+            if nreads and int(lengths[:nreads].max()) >= self.stride:
+                # a read was truncated: rewind and retry with a larger stride
+                if self.stride >= self.cap_len:
+                    raise ValueError(
+                        f"read exceeds max supported length {self.cap_len}"
+                    )
+                self.stride = min(self.stride * 4, self.cap_len)
+                self.phase[0] = saved_phase
+                continue
             pos += int(consumed[0])
             if nreads == 0:
                 break

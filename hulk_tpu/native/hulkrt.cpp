@@ -271,7 +271,8 @@ int64_t hulk_pack_fastq(const uint8_t* buf, int64_t len, int32_t* phase_io,
             int64_t L = llen < cap_len ? llen : cap_len;
             uint8_t* dst = codes + nreads * cap_len;
             for (int64_t i = 0; i < L; i++) dst[i] = NT4[buf[pos + i]];
-            for (int64_t i = L; i < cap_len; i++) dst[i] = 5;
+            // tail beyond L is left untouched (pages stay unmapped for large
+            // cap_len); the Python side pads to the batch's length bucket
             lengths[nreads] = (int32_t)L;
             nreads++;
         }

@@ -15,6 +15,8 @@ import gzip
 import sys
 from typing import Iterable, Iterator
 
+import numpy as np
+
 from hulk_tpu.ops.encode import PackedReads, pack_reads
 
 
@@ -74,6 +76,70 @@ def _parse(lines: Iterable[bytes], fasta: bool) -> Iterator[bytes]:
 
 
 DEFAULT_LENGTH_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 65536)
+
+
+def batch_reads_native(
+    paths: list[str],
+    batch_size: int = 2048,
+    length_buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
+    cut_every: int | None = None,
+    max_read_len: int = 65536,
+) -> Iterator[PackedReads]:
+    """FASTQ batches via the native C++ parser/packer (files only).
+
+    Reads are packed at max_read_len then column-sliced to the smallest
+    length bucket covering the batch (keeps XLA compilations bounded).
+    Batches are split at cut_every global-read-index multiples so interval
+    flush boundaries match the Python path exactly. Reads at max_read_len are
+    rejected (the packer would truncate silently).
+    """
+    from hulk_tpu import native
+
+    packer = native.NativeFastqPacker(cap_reads=batch_size, cap_len=max_read_len)
+    emitted = 0
+
+    def finish(codes, lengths):
+        nonlocal emitted
+        if lengths.shape[0] == 0:
+            return
+        if (lengths >= max_read_len).any():
+            raise FastqError(f"read exceeds max supported length {max_read_len}")
+        maxlen = int(lengths.max())
+        bucket = next((x for x in length_buckets if maxlen <= x), max_read_len)
+        R = lengths.shape[0]
+        out_codes = np.empty((batch_size, bucket), dtype=np.uint8)
+        out_codes[:R] = codes[:, :bucket]
+        # pad positions beyond each read's length (the packer leaves them
+        # untouched so large cap_len rows stay unmapped)
+        col = np.arange(bucket, dtype=np.int32)[None, :]
+        out_len = np.zeros(batch_size, dtype=np.int32)
+        out_len[:R] = lengths
+        np.putmask(out_codes, col >= out_len[:, None], np.uint8(5))
+        emitted += R
+        yield PackedReads(codes=out_codes, lengths=out_len)
+
+    def splits(codes, lengths):
+        """Split a raw packed chunk at interval boundaries."""
+        if cut_every is None:
+            yield from finish(codes, lengths)
+            return
+        start = 0
+        n = lengths.shape[0]
+        while start < n:
+            room = cut_every - ((emitted + 0) % cut_every)
+            take = min(n - start, room)
+            yield from finish(codes[start : start + take], lengths[start : start + take])
+            start += take
+
+    for p in paths:
+        fh = gzip.open(p, "rb") if p.endswith(".gz") else open(p, "rb")
+        with fh:
+            while True:
+                chunk = fh.read(1 << 22)
+                if not chunk:
+                    break
+                for codes, lengths in packer.feed(chunk):
+                    yield from splits(codes, lengths)
 
 
 def batch_reads(

@@ -26,7 +26,7 @@ from hulk_tpu.sketch.histosketch import HistoSketch
 from hulk_tpu.sketch.hyperminhash import HyperMinHash
 from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
 from hulk_tpu.sketch.spectrum import KmerSpectrum
-from hulk_tpu.stream.fastq import batch_reads
+from hulk_tpu.stream.fastq import batch_reads, batch_reads_native
 
 log = logging.getLogger("hulk")
 
@@ -48,6 +48,7 @@ class SketchConfig:
     batch_size: int = 2048
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
     device_stream: bool | None = None  # None -> auto (on when backend != cpu)
+    input_paths: list | None = None  # set -> native C++ parser feeds batches
 
     def resolved_spectrum_size(self) -> int:
         return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
@@ -174,7 +175,17 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
     dev = _DeviceStream(cfg, nbins) if use_device else None
 
     cut = cfg.interval if cfg.interval else None
-    for batch in batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut):
+    if reads is None:
+        from hulk_tpu import native
+
+        if cfg.input_paths is None or not native.available():
+            raise PipelineError("native input path requested but unavailable")
+        batches = batch_reads_native(
+            cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut
+        )
+    else:
+        batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)
+    for batch in batches:
         active = batch.lengths > 0
         bad = short_read_mask(batch.lengths, k, w) & active
         if bad.any():
