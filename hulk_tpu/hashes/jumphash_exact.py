@@ -87,18 +87,9 @@ def _div_u64_by_u31(num, d):
     return q, r.astype(U64)
 
 
-def jump_hash_exact_jnp(key, num_buckets: int):
-    """Bit-exact Go jump hash on any backend, including TPU."""
-    n = jnp.int64(num_buckets)
-    key = key.astype(U64)
-
-    zeros = jnp.zeros_like(key, dtype=jnp.int64)
-    b0 = zeros - 1
-    j0 = zeros
-    active0 = j0 < n
-
-    def body(state):
-        key, b, j, active = state
+def _jump_body(state, n):
+    key, b, j, active = state
+    if True:
         b = jnp.where(active, j, b)
         key = jnp.where(active, key * _u(_LCG) + _u(1), key)
 
@@ -158,10 +149,19 @@ def jump_hash_exact_jnp(key, num_buckets: int):
 
         j = jnp.where(active, jj, j)
         active = active & (j < n)
-        return key, b, j, active
+    return key, b, j, active
+
+
+def jump_hash_exact_jnp(key, num_buckets: int):
+    """Bit-exact Go jump hash on any backend, including TPU."""
+    n = jnp.int64(num_buckets)
+    key = key.astype(U64)
+
+    zeros = jnp.zeros_like(key, dtype=jnp.int64)
+    state0 = (key, zeros - 1, zeros, zeros < n)
 
     def cond(state):
         return jnp.any(state[3])
 
-    _, b, _, _ = jax.lax.while_loop(cond, body, (key, b0, j0, active0))
+    _, b, _, _ = jax.lax.while_loop(cond, lambda s: _jump_body(s, n), state0)
     return b.astype(jnp.int32)

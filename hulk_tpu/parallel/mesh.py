@@ -18,7 +18,7 @@ mesh; psum rides ICI within a slice and DCN across slices, emitted by XLA.
 """
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ import numpy as np
 
 from hulk_tpu.hashes.cws import CWSTables, get_cws_tables
 from hulk_tpu.hashes.fdlibm import go_exp, go_log
-from hulk_tpu.sketch.countmin import CountMinSketch, cms_row_bins
+from hulk_tpu.sketch.countmin import CountMinSketch
 
 MAX_K = 31
 MAX_FLOAT64 = np.finfo(np.float64).max

@@ -14,12 +14,12 @@ batching and equals the reference's p=1 behaviour.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
 
-from hulk_tpu.hashes.jumphash import jump_hash_np
+
 from hulk_tpu.io.sketchio import HULKData
 from hulk_tpu.ops.minimizer import minimizer_scan, short_read_mask
 from hulk_tpu.sketch.histosketch import HistoSketch
