@@ -66,36 +66,27 @@ def main() -> None:
     host.add_hashes(np.asarray(vals)[np.asarray(mask)])
     exact = bool(np.array_equal(np.asarray(h_dev).astype(np.float64), host.bins))
 
-    from hulk_tpu.ops.device_step import (
-        bin_scatter_slice,
-        live_bucket,
-        minimizer_sorted_flat,
-    )
+    from hulk_tpu.ops.device_step import sketch_stream_step, stream_bucket
 
-    def stream_step(hist, codes_d, lengths_d):
-        svals, cnt = minimizer_sorted_flat(codes_d, lengths_d, k=K, w=W)
-        b = live_bucket(int(cnt), R * L, R)
-        return bin_scatter_slice(hist, svals[:b])
+    BUCKET = stream_bucket(R, R * L)
 
-    def stream_many(hist, batches):
-        """Software-pipelined: keep the next batch's scan in flight while the
-        current batch's live count is read back, hiding the sync."""
-        inflight = []
-        bi = 0
-        for codes_d, lengths_d in batches[: 2]:
-            inflight.append(minimizer_sorted_flat(codes_d, lengths_d, k=K, w=W))
-        for i in range(len(batches)):
-            if i + 2 < len(batches):
-                c_d, l_d = batches[i + 2]
-                inflight.append(minimizer_sorted_flat(c_d, l_d, k=K, w=W))
-            svals, cnt = inflight[i]
-            b = live_bucket(int(cnt), R * L, R)
-            hist = bin_scatter_slice(hist, svals[:b])
-        return hist
+    def stream_step(hist, count, codes_d, lengths_d):
+        hist, count, _ = sketch_stream_step(
+            hist, count, codes_d, lengths_d, k=K, w=W, bucket=BUCKET
+        )
+        return hist, count
+
+    def stream_many(hist, count, batches):
+        """Pure async dispatch: the step has no host syncs (on-device bucket
+        cond + donated carries), so steps pipeline through the tunnel."""
+        for codes_d, lengths_d in batches:
+            hist, count = stream_step(hist, count, codes_d, lengths_d)
+        return hist, count
 
     # warmup (compile + host flush buffer pools)
     hist = jnp.zeros((NBINS,), dtype=jnp.int32)
-    hist = stream_step(hist, dev_codes, dev_lengths)
+    count = jnp.zeros((), dtype=jnp.int64)
+    hist, count = stream_step(hist, count, dev_codes, dev_lengths)
     jax.block_until_ready(hist)
     from hulk_tpu.hashes.cws import get_cws_tables
     from hulk_tpu.sketch.histosketch import HistoSketch
@@ -108,9 +99,9 @@ def main() -> None:
 
     t0 = time.perf_counter()
     batches = [(dev_codes, dev_lengths)] * N_STEPS
-    hist = stream_many(hist, batches)
-    count = R * N_STEPS
+    hist, count = stream_many(hist, count, batches)
     jax.block_until_ready(hist)
+    n_reads = R * N_STEPS
     t_stream = time.perf_counter() - t0
 
     # final exact flush on host (part of the end-to-end sketch cost)
@@ -122,11 +113,11 @@ def main() -> None:
     t_flush = time.perf_counter() - t1
 
     print(
-        f"# stream: {t_stream:.2f}s ({count} reads), flush: {t_flush:.2f}s "
-        f"({ids.shape[0]} bins)",
+        f"# stream: {t_stream:.2f}s ({n_reads} reads, {int(count)} minimizers), "
+        f"flush: {t_flush:.2f}s ({ids.shape[0]} bins)",
         file=sys.stderr,
     )
-    reads_per_s = count / (t_stream + t_flush)
+    reads_per_s = n_reads / (t_stream + t_flush)
     result = {
         "metric": f"reads/s/chip (sketch k={K} s={S}, {READ_LEN}bp, backend={backend}, exact_histogram={exact})",
         "value": round(reads_per_s, 1),

@@ -91,48 +91,45 @@ def live_bucket(count: int, total: int, r: int) -> int:
     return min(b, total)
 
 
-def make_flush_fn(r_t, c_t, b_t, exp_r_t, decay_weight: float, apply_drift: bool):
-    """Build a jitted device flush over a dense histogram.
+def stream_bucket(r: int, total: int) -> int:
+    """Static compaction bucket for the sync-free stream step: covers every
+    realistic batch (~27 distinct minimizers per 150 bp read) with 20%+
+    headroom; rarer, denser batches take the exact full-width fallback."""
+    return min(32 * r, total)
 
-    Tables are [s, nbins] device arrays (can be sharded over s across a model
-    axis). The scan walks bins in ascending order — matching the reference's
-    dump order — updating CMS state and the (sketch, weights) carry; zero
-    bins are masked no-ops so the scan has a static trip count.
+
+@partial(jax.jit, static_argnames=("k", "w", "bucket"), donate_argnums=(0, 1))
+def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int):
+    """One fully-device streaming step with NO host synchronisation.
+
+    The compacted path (device_step module docstring) needs the live-lane
+    count to pick a slice width; reading it back costs a host round trip per
+    step — through a remote-device tunnel that dwarfs the compute. Instead
+    the bucket choice happens on device with lax.cond: the common branch bins
+    the `bucket`-wide sorted prefix, the rare overflow branch bins full
+    width. Both are exact; hist and the minimizer counter are donated
+    carries, so a stream of steps is pure async dispatch.
+
+    Returns (hist, count, svals) — svals (sorted, sentinel-padded) feeds the
+    KMV/KHF/HMH device updates without recomputing the scan.
     """
-    from hulk_tpu.sketch.countmin import cms_shape
+    vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
+    cnt = jnp.sum(mask)
+    flat = jnp.where(mask, vals, _U64SENT).reshape(-1)
+    svals = jnp.sort(flat)
 
-    depth, width = cms_shape()
-    s = r_t.shape[0]
-
-    def flush(hist, sketch, weights):
-        nbins = hist.shape[0]
-        bin_ids = jnp.arange(nbins, dtype=jnp.uint64)
-        # CMS row positions for every bin (vectorised; exact integer+f64 math)
-        row_bins = jnp.stack(
-            [jump_hash_jnp(bin_ids + jnp.uint64(d) * bin_ids, width) for d in range(depth)]
-        )  # [depth, nbins]
-
-        def body(carry, xs):
-            cms, sketch, weights = carry
-            freq, rb, jbin = xs
-            live = freq != 0.0
-            cms_in = jnp.where(live & apply_drift, cms * decay_weight, cms)
-            rows = jnp.arange(depth)
-            updated = cms_in.at[rows, rb].add(jnp.where(live, freq, 0.0))
-            esti = updated[rows, rb].min()
-            yka = jnp.exp(jnp.log(esti) - b_t[:, jbin])
-            aka = c_t[:, jbin] / (yka * exp_r_t[:, jbin])
-            cur = jnp.where(apply_drift, weights / decay_weight, weights)
-            better = live & (aka < cur)
-            sketch = jnp.where(better, jbin, sketch)
-            weights = jnp.where(better, aka, weights)
-            return (updated, sketch, weights), None
-
-        cms0 = jnp.zeros((depth, width), dtype=jnp.float64)
-        jbins = jnp.arange(nbins, dtype=jnp.int64)
-        (cms, sketch, weights), _ = jax.lax.scan(
-            body, (cms0, sketch, weights), (hist, row_bins.T, jbins)
+    if bucket >= flat.shape[0]:
+        hist = bin_scatter_slice(hist, svals)
+    else:
+        hist = jax.lax.cond(
+            cnt <= bucket,
+            lambda h: bin_scatter_slice(h, jax.lax.slice(svals, (0,), (bucket,))),
+            lambda h: bin_scatter_slice(h, svals),
+            hist,
         )
-        return sketch, weights
+    return hist, count + cnt.astype(count.dtype), svals
 
-    return jax.jit(flush)
+
+# The device-resident flush (CMS + CWS scan over a dense histogram) lives in
+# parallel/mesh.sharded_flush_step — it is the single implementation, usable
+# on a 1-device mesh for the unsharded case.

@@ -80,6 +80,7 @@ class _DeviceStream:
         self.cfg = cfg
         self.nbins = nbins
         self.hist = jnp.zeros(nbins, dtype=jnp.int32)
+        self.count = jnp.zeros((), dtype=jnp.int64)
         s = cfg.sketch_size
         self.kmv_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.kmv else None
         self.khf_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.khf else None
@@ -89,23 +90,28 @@ class _DeviceStream:
 
             self.hmh_regs = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
 
-    def feed(self, batch) -> int:
+    def feed(self, batch) -> None:
+        """Dispatch one batch; never synchronises with the device (the
+        minimizer count accumulates in a donated device scalar, read once at
+        the end — per-step readbacks cost a full tunnel round trip)."""
         import jax
 
         from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
-        from hulk_tpu.ops.device_step import (
-            bin_scatter_slice,
-            live_bucket,
-            minimizer_sorted_flat,
-        )
+        from hulk_tpu.ops.device_step import sketch_stream_step, stream_bucket
 
         cfg = self.cfg
         codes = jax.device_put(batch.codes)
         lengths = jax.device_put(batch.lengths)
-        svals, cnt = minimizer_sorted_flat(codes, lengths, k=cfg.kmer_size, w=cfg.window_size)
-        n = int(cnt)
-        b = live_bucket(n, batch.codes.shape[0] * batch.codes.shape[1], batch.codes.shape[0])
-        self.hist = bin_scatter_slice(self.hist, svals[:b])
+        r, l = batch.codes.shape
+        self.hist, self.count, svals = sketch_stream_step(
+            self.hist,
+            self.count,
+            codes,
+            lengths,
+            k=cfg.kmer_size,
+            w=cfg.window_size,
+            bucket=stream_bucket(r, r * l),
+        )
         if self.kmv_state is not None:
             self.kmv_state = kmv_update(self.kmv_state, svals)
         if self.khf_state is not None:
@@ -114,9 +120,11 @@ class _DeviceStream:
             from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
 
             self.hmh_regs = hmh_update(
-                self.hmh_regs, svals[:b], p=DEFAULT_P, q=DEFAULT_Q, r=DEFAULT_R
+                self.hmh_regs, svals, p=DEFAULT_P, q=DEFAULT_Q, r=DEFAULT_R
             )
-        return n
+
+    def minimizer_total(self) -> int:
+        return int(self.count)
 
     def drain_into(self, spectrum) -> None:
         import jax.numpy as jnp
@@ -191,7 +199,7 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
         if bad.any():
             raise PipelineError("sequence length must be >= w + k - 1")
         if dev is not None:
-            minimizer_count += dev.feed(batch)
+            dev.feed(batch)
         else:
             vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
             vals = np.asarray(vals)
@@ -222,6 +230,7 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
     if dev is not None:
         dev.drain_into(spectrum)
         dev.collect(kmv, khf, hmh)
+        minimizer_count = dev.minimizer_total()
     flush()
 
     if seq_count == 0:

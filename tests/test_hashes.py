@@ -79,3 +79,23 @@ def test_jump_hash_exact_jnp_matches_np():
         a = np.asarray(jax.jit(lambda k, n=n: jump_hash_exact_jnp(k, n))(keys))
         b = jump_hash_np(keys, n)
         assert np.array_equal(a, b), f"mismatch at n={n}"
+
+
+def test_jump_hash_exact_jnp_adversarial_keys():
+    """Keys engineered so the first divisor d=(key>>33)+1 hits boundaries the
+    integer-emulated rounding must handle: d=1, d=2^31 (the q=1.0 special
+    case), powers of two and their neighbours (normalization edges)."""
+    from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
+    import jax
+
+    ds = [1, 2, 3]
+    for p in range(2, 32):
+        ds += [(1 << p) - 1, 1 << p, (1 << p) + 1]
+    ds = [d for d in ds if 1 <= d <= (1 << 31)]
+    keys = np.array([(d - 1) << 33 for d in ds], dtype=np.uint64)
+    # also exercise low bits (they reach later iterations via the LCG)
+    keys = np.concatenate([keys, keys | np.uint64(0x1FFFFFFFF), keys | np.uint64(1)])
+    for n in (1, 2, 194481, 923521, 2**31 - 1):
+        a = np.asarray(jax.jit(lambda k, n=n: jump_hash_exact_jnp(k, n))(keys))
+        b = jump_hash_np(keys, n)
+        assert np.array_equal(a, b), f"mismatch at n={n}"
