@@ -54,8 +54,9 @@ def minimizer_values_step(codes, lengths, *, k: int, w: int):
 # lanes carry the U64MAX sentinel), the host reads the live count (a scalar)
 # and dispatches binning+scatter on the smallest bucket that covers it —
 # a 4-6x reduction in jump-hash/scatter width at the cost of one cheap sort.
-# Safe for k <= 27 (values < 2^63, so a real value can never equal the
-# sentinel); the pipeline falls back to the full-width path otherwise.
+# The sentinel is safe for every legal (k, w): a reported minimizer can never
+# equal U64MAX (proof in ops/minimizer.py — the reference only reports at
+# positions whose own entry has low byte = span in [1, 31]).
 
 _U64SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 

@@ -127,7 +127,9 @@ def _digit(nh, nl, dn, rcp, rounds: int):
 
     f32-reciprocal estimate + one multiplicative refinement + `rounds`
     +-1 correction steps (error budget documented in jumphash_exact._digit).
-    Returns (q as i32 < 2^27, remainder as u32 < dn).
+    Returns (q as i32 <= 2^27, remainder as u32 < dn). The first digit hits
+    2^27 exactly when dn == 2^30 (d a power of two); downstream handles it
+    (d1u<<26 wraps, the carry is recovered via d1u>>6).
     """
     num_f = nh.astype(I32).astype(jnp.float32) * _f(4294967296.0) + _u32_to_f32(nl)
     e = (num_f * rcp).astype(I32)
@@ -277,7 +279,12 @@ def jump_hash_pallas(keys, num_buckets: int, block_rows: int = 64, interpret: bo
     in one iteration). Returns int32 bins [N]."""
     n = keys.shape[0]
     lanes = 128 * block_rows
-    assert n % lanes == 0, (n, lanes)
+    if n % lanes != 0:
+        raise ValueError(
+            f"jump_hash_pallas: key count {n} must be a multiple of "
+            f"128*block_rows={lanes}; pad with zero keys (they bin to 0 in "
+            f"one iteration and can be masked out by the caller)"
+        )
     kh = (keys >> jnp.uint64(32)).astype(U32).reshape(n // 128, 128)
     kl = keys.astype(U32).reshape(n // 128, 128)
     grid = n // lanes

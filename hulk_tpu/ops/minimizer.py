@@ -93,16 +93,23 @@ def minimizer_scan(codes, lengths, *, k: int, w: int):
 
     report = valid & (pos >= (w - 1))
 
-    # per-read distinct values: sort reported values, keep first of each run
+    # per-read distinct values: sort reported values, keep first of each run.
+    # U64MAX is a safe sentinel for ALL (k, w): the reference only inserts the
+    # queue front at positions where the current k-mer was pushed (the i<k-1
+    # and fwd==rc branches `continue` past the insert, minimizer.go:139-147,
+    # 185-198), and at such a position i >= w-1 the current entry has
+    # span = min(i-w+2, k) in [1, 31], so its low byte != 0xFF and
+    # front <= x_i < U64MAX. The negative-span all-ones values that exist for
+    # k < w (span=-1 at i=w-3 gives x == U64MAX exactly) are only ever pushed,
+    # never reported, because a smaller current entry is always in-window.
+    # (Differentially verified against the literal oracle over k<w,
+    # symmetric-heavy and k=28..31 constructions in tests/test_minimizer.py.)
     vals = jnp.where(report, wmin, _U64MAX)
     svals = jnp.sort(vals, axis=1)
     neq_prev = jnp.concatenate(
         [jnp.ones((R, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
     )
-    # A *real* value of U64MAX can occur when k<w (sign-extended negative
-    # span ORs to all-ones); keep one copy of the MAX run in that case.
-    has_real_max = jnp.any(report & (wmin == _U64MAX), axis=1, keepdims=True)
-    out_mask = neq_prev & ((svals != _U64MAX) | has_real_max)
+    out_mask = neq_prev & (svals != _U64MAX)
     return svals, out_mask
 
 

@@ -176,10 +176,6 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
     use_device = cfg.device_stream
     if use_device is None:
         use_device = jax.default_backend() != "cpu"
-    if k > 27:
-        # the compacted device path uses U64MAX as a sentinel, which a real
-        # minimizer value can reach only when 2k+8 >= 64
-        use_device = False
     dev = _DeviceStream(cfg, nbins) if use_device else None
 
     cut = cfg.interval if cfg.interval else None

@@ -69,6 +69,32 @@ def test_short_read_masking():
     assert m.tolist() == [True, True, True, False, False]
 
 
+@pytest.mark.parametrize("k,w", [(3, 9), (2, 16), (5, 9), (28, 9), (31, 9), (31, 5), (7, 64)])
+def test_u64max_never_reported(k, w):
+    """Regression for the compacted device path's sentinel: a reported
+    minimizer can never equal U64MAX for any legal (k, w) — including k<w,
+    where negative sign-extended spans make PUSHED values of exactly U64MAX
+    (span=-1 at i=w-3), and k=28..31, where hash<<8 reaches the top bits.
+    Adversarial mix: random, symmetric-heavy (AT repeats), N-heavy."""
+    U64 = 0xFFFFFFFFFFFFFFFF
+    seqs = []
+    for trial in range(45):
+        n = int(RNG.integers(w + k - 1, 220))
+        if trial % 3 == 0:
+            seqs.append(random_read(n))
+        elif trial % 3 == 1:
+            s = bytearray((b"AT" * (n // 2 + 1))[:n])
+            for _ in range(int(RNG.integers(0, 6))):
+                s[int(RNG.integers(n))] = int(RNG.choice(list(b"ACGTN")))
+            seqs.append(bytes(s))
+        else:
+            seqs.append(random_read(n, n_frac=0.3))
+    got, exp = run_both(seqs, k, w)
+    assert got == exp
+    for g in exp:
+        assert U64 not in g
+
+
 def test_padding_is_inert():
     k, w = 21, 9
     seqs = [random_read(120), random_read(40)]
