@@ -66,13 +66,18 @@ def main() -> None:
     host.add_hashes(np.asarray(vals)[np.asarray(mask)])
     exact = bool(np.array_equal(np.asarray(h_dev).astype(np.float64), host.bins))
 
-    from hulk_tpu.ops.device_step import sketch_stream_step, stream_bucket
+    from hulk_tpu.ops.device_step import (
+        pallas_supported,
+        sketch_stream_step,
+        stream_bucket,
+    )
 
     BUCKET = stream_bucket(R, R * L)
+    PALLAS = pallas_supported()
 
     def stream_step(hist, count, codes_d, lengths_d):
         hist, count, _ = sketch_stream_step(
-            hist, count, codes_d, lengths_d, k=K, w=W, bucket=BUCKET
+            hist, count, codes_d, lengths_d, k=K, w=W, bucket=BUCKET, pallas=PALLAS
         )
         return hist, count
 

@@ -23,8 +23,25 @@ from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
 from hulk_tpu.ops.minimizer import minimizer_scan
 
 
-@partial(jax.jit, static_argnames=("k", "w"), donate_argnums=(0,))
-def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int):
+def pallas_supported() -> bool:
+    """True when the default backend compiles Mosaic (Pallas TPU) kernels."""
+    return jax.default_backend() == "tpu"
+
+
+def _jump_bins(keys, nbins: int, pallas: bool):
+    """Exact Go jump hash: Pallas TPU kernel (3.2x the XLA while-loop at
+    262k lanes, measured v5e) or the XLA integer-emulated loop. Both are
+    bit-equal to the Go semantics (tests/test_jump_pallas.py, test_hashes.py).
+    """
+    if pallas:
+        from hulk_tpu.ops.jump_pallas import jump_hash_tpu
+
+        return jump_hash_tpu(keys, nbins)
+    return jump_hash_exact_jnp(keys, nbins)
+
+
+@partial(jax.jit, static_argnames=("k", "w", "pallas"), donate_argnums=(0,))
+def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int, pallas: bool = False):
     """One streaming step: histogram += binned minimizers of this batch.
 
     hist: [nbins] int32 (donated; counts are exact integers — the host
@@ -34,9 +51,9 @@ def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int):
     """
     nbins = hist.shape[0]
     vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
-    bins = jump_hash_exact_jnp(vals, nbins)
+    bins = _jump_bins(vals.reshape(-1), nbins, pallas)
     contrib = mask.astype(jnp.int32)
-    hist = hist.at[bins.reshape(-1)].add(contrib.reshape(-1))
+    hist = hist.at[bins].add(contrib.reshape(-1))
     return hist, jnp.sum(mask)
 
 
@@ -69,8 +86,8 @@ def minimizer_sorted_flat(codes, lengths, *, k: int, w: int):
     return jnp.sort(flat), jnp.sum(mask)
 
 
-@partial(jax.jit, static_argnames=(), donate_argnums=(0,))
-def bin_scatter_slice(hist, svals):
+@partial(jax.jit, static_argnames=("pallas",), donate_argnums=(0,))
+def bin_scatter_slice(hist, svals, *, pallas: bool = False):
     """Bin a compacted slice and scatter-add into the histogram.
 
     Dead sentinel lanes are remapped to key 0, which converges in one jump
@@ -79,7 +96,7 @@ def bin_scatter_slice(hist, svals):
     nbins = hist.shape[0]
     live = svals != _U64SENT
     keys = jnp.where(live, svals, jnp.uint64(0))
-    bins = jump_hash_exact_jnp(keys, nbins)
+    bins = _jump_bins(keys, nbins, pallas)
     hist = hist.at[bins].add(live.astype(jnp.int32))
     return hist
 
@@ -99,8 +116,9 @@ def stream_bucket(r: int, total: int) -> int:
     return min(32 * r, total)
 
 
-@partial(jax.jit, static_argnames=("k", "w", "bucket"), donate_argnums=(0, 1))
-def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int):
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
+def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
+                       pallas: bool = False):
     """One fully-device streaming step with NO host synchronisation.
 
     The compacted path (device_step module docstring) needs the live-lane
@@ -120,12 +138,14 @@ def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: i
     svals = jnp.sort(flat)
 
     if bucket >= flat.shape[0]:
-        hist = bin_scatter_slice(hist, svals)
+        hist = bin_scatter_slice(hist, svals, pallas=pallas)
     else:
         hist = jax.lax.cond(
             cnt <= bucket,
-            lambda h: bin_scatter_slice(h, jax.lax.slice(svals, (0,), (bucket,))),
-            lambda h: bin_scatter_slice(h, svals),
+            lambda h: bin_scatter_slice(
+                h, jax.lax.slice(svals, (0,), (bucket,)), pallas=pallas
+            ),
+            lambda h: bin_scatter_slice(h, svals, pallas=pallas),
             hist,
         )
     return hist, count + cnt.astype(count.dtype), svals

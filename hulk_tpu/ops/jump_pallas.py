@@ -258,10 +258,17 @@ def _jump_block_body(n: int, state):
 def _jump_kernel(n: int, kh_ref, kl_ref, out_ref):
     kh = kh_ref[:]
     kl = kl_ref[:]
-    # initial b/j derived from the input so their layout is tiled: splat
-    # constants get a replicated Mosaic layout, and the while carry can't
-    # relayout the body's tiled results back to replicated
-    zeros = (kh ^ kh).astype(I32)
+    # initial b/j must carry a TILED layout: the while body produces tiled
+    # results, and Mosaic cannot relayout varying data back to a replicated
+    # carry. Splat constants — and anything Mosaic constant-folds to one,
+    # including kh^kh — get the replicated layout, so derive zeros from an
+    # iota's sign bit (no fold rule reaches it). A single-axis iota is still
+    # replicated along the other axis ({*,0}/{0,*}); summing both gives the
+    # fully-tiled {0,0} layout the body produces.
+    it = jax.lax.broadcasted_iota(I32, kh.shape, 0) + jax.lax.broadcasted_iota(
+        I32, kh.shape, 1
+    )
+    zeros = it >> _i(31)
     mj0 = jnp.min(jnp.min(zeros, axis=0, keepdims=True), axis=1, keepdims=True)
     state = (kh, kl, zeros - _i(1), zeros, mj0)
 
@@ -303,3 +310,16 @@ def jump_hash_pallas(keys, num_buckets: int, block_rows: int = 64, interpret: bo
         interpret=interpret,
     )(kh, kl)
     return out.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("num_buckets", "block_rows", "interpret"))
+def jump_hash_tpu(keys, num_buckets: int, block_rows: int = 64, interpret: bool = False):
+    """jump_hash_pallas for any key count: pads with zero keys (bin 0 in one
+    iteration) to the 128*block_rows lane granule and slices the result."""
+    n = keys.shape[0]
+    lanes = 128 * block_rows
+    pad = (-n) % lanes
+    if pad:
+        keys = jnp.concatenate([keys, jnp.zeros(pad, dtype=jnp.uint64)])
+    out = jump_hash_pallas(keys, num_buckets, block_rows, interpret)
+    return out[:n] if pad else out

@@ -77,8 +77,11 @@ class _DeviceStream:
     def __init__(self, cfg: SketchConfig, nbins: int):
         import jax.numpy as jnp
 
+        from hulk_tpu.ops.device_step import pallas_supported
+
         self.cfg = cfg
         self.nbins = nbins
+        self.pallas = pallas_supported()
         self.hist = jnp.zeros(nbins, dtype=jnp.int32)
         self.count = jnp.zeros((), dtype=jnp.int64)
         s = cfg.sketch_size
@@ -111,6 +114,7 @@ class _DeviceStream:
             k=cfg.kmer_size,
             w=cfg.window_size,
             bucket=stream_bucket(r, r * l),
+            pallas=self.pallas,
         )
         if self.kmv_state is not None:
             self.kmv_state = kmv_update(self.kmv_state, svals)
