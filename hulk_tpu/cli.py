@@ -175,12 +175,22 @@ def run_sketch(args) -> None:
     log.info("finding minimizers...")
     from hulk_tpu import native
 
-    if fastq and not args.fasta and native.available():
-        # native C++ parser feeds fixed-shape batches directly
+    if fastq and native.available():
+        # native C++ parser (FASTQ or FASTA) feeds fixed-shape batches directly
         cfg.input_paths = fastq
         reads = None
     else:
         reads = stream_reads(fastq, fasta=args.fasta, stdin=None if fastq else sys.stdin.buffer)
+
+    # --stream: print the sketch to STDOUT after every interval flush (the
+    # documented reference behaviour, cmd/sketch.go:56 — unimplemented there;
+    # its flag only redirected the log, which is replicated above).
+    on_interval = None
+    if args.stream and args.interval:
+        def on_interval(snap):
+            sys.stdout.buffer.write(snap.to_json_bytes())
+            sys.stdout.buffer.write(b"\n")
+            sys.stdout.buffer.flush()
 
     prof = None
     if args.profiling:
@@ -189,7 +199,7 @@ def run_sketch(args) -> None:
         jax.profiler.start_trace("./hulk-profile")
         prof = True
     try:
-        result = run_sketch_pipeline(reads, cfg)
+        result = run_sketch_pipeline(reads, cfg, on_interval=on_interval)
     except PipelineError as e:
         _error_check(str(e))
         return

@@ -41,7 +41,7 @@ def _load():
             tmp = so_path + f".tmp{os.getpid()}.so"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-shared", "-fPIC", "-o", tmp, _SRC],
+                 "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so_path)
@@ -74,6 +74,12 @@ def _load():
     lib.hulk_pack_fastq.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+    ]
+    lib.hulk_pack_fasta.restype = ctypes.c_int64
+    lib.hulk_pack_fasta.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -184,4 +190,83 @@ class NativeFastqPacker:
             if nreads == 0:
                 break
             out.append((codes[:nreads], lengths[:nreads]))
+        return out
+
+    def end_of_file(self):
+        """Complete a final line missing its newline; resets the 4-line phase."""
+        out = self.feed(b"\n") if self._leftover else []
+        self._leftover = b""
+        self.phase[0] = 0
+        return out
+
+
+class NativeFastaPacker:
+    """Streaming FASTA parser+packer over decompressed chunks (see
+    hulk_pack_fasta for the reference semantics it replicates). Records can
+    span chunks via the carry buffer; end_of_file() emits the trailing record
+    and errors if the file had no records."""
+
+    def __init__(self, cap_reads: int, cap_len: int, initial_stride: int = 256):
+        self._lib = _load()
+        if self._lib is None:
+            raise RuntimeError("native library unavailable")
+        self.cap_reads = cap_reads
+        self.cap_len = cap_len
+        self.stride = min(initial_stride, cap_len)
+        self.state = np.zeros(4, dtype=np.int32)  # header/terminated/carry/any
+        self.carry = np.zeros(cap_len, dtype=np.uint8)
+        self._leftover = b""
+
+    def feed(self, chunk: bytes):
+        data = self._leftover + chunk
+        cut = data.rfind(b"\n") + 1
+        self._leftover = data[cut:]
+        data = data[:cut]
+        buf = np.frombuffer(data, dtype=np.uint8)
+        pos = 0
+        out = []
+        while pos < buf.shape[0]:
+            saved_state = self.state.copy()
+            saved_carry = self.carry[: self.stride].copy()
+            codes = np.empty((self.cap_reads, self.stride), dtype=np.uint8)
+            lengths = np.zeros(self.cap_reads, dtype=np.int32)
+            consumed = np.zeros(1, dtype=np.int64)
+            nreads = self._lib.hulk_pack_fasta(
+                _ptr(buf[pos:]), buf.shape[0] - pos, _ptr(self.state),
+                _ptr(self.carry), _ptr(codes), _ptr(lengths), self.cap_reads,
+                self.stride, _ptr(consumed),
+            )
+            truncated = int(self.state[2]) >= self.stride or (
+                nreads and int(lengths[:nreads].max()) >= self.stride
+            )
+            if truncated:
+                if self.stride >= self.cap_len:
+                    raise ValueError(
+                        f"record exceeds max supported length {self.cap_len}"
+                    )
+                self.stride = min(self.stride * 4, self.cap_len)
+                self.state[:] = saved_state
+                self.carry[: saved_carry.shape[0]] = saved_carry
+                continue
+            pos += int(consumed[0])
+            if nreads == 0:
+                if int(consumed[0]) == 0:
+                    break
+                continue
+            out.append((codes[:nreads], lengths[:nreads]))
+        return out
+
+    def end_of_file(self):
+        """Emit the trailing record; error if the file had no records; reset
+        per-file state (header/terminated flags) for the next file."""
+        out = self.feed(b"\n") if self._leftover else []
+        self._leftover = b""
+        if self.state[0]:  # in-progress record at EOF
+            L = int(self.state[2])
+            codes = np.full((1, self.stride), 5, dtype=np.uint8)
+            codes[0, :L] = self.carry[:L]
+            out.append((codes, np.array([L], dtype=np.int32)))
+        elif not self.state[3]:
+            raise ValueError("no FASTA records found")
+        self.state[:] = 0
         return out

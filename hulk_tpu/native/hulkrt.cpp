@@ -19,6 +19,17 @@
 #include <cstring>
 #include <cmath>
 
+#ifdef _OPENMP
+#include <omp.h>
+#else
+static inline int omp_get_num_threads() { return 1; }
+static inline int omp_get_thread_num() { return 0; }
+#endif
+
+#if defined(__SSE2__)
+#include <xmmintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -198,35 +209,114 @@ void hulk_cws_fill(int64_t sketch_size, int64_t dims, const int64_t* cooked,
 // cms:      [depth * width] counters (modified)
 // row_bins: [n * depth] per-element CMS positions
 // tables:   [s * dims] row-major; bins index the dims axis
+//
+// Bit-identical restructure of the reference's element-at-a-time loop into
+// two parallel passes:
+//
+//   Pass 1 (parallel over disjoint CMS cell ranges): each thread advances
+//   only its own cells' timelines — per element, the drift scale of its
+//   range, then the increments that land in its range — so every f64 op on a
+//   cell happens in exactly the order the sequential loop produces. The
+//   post-increment row values are recorded; esti is their min (order-free)
+//   and lf = log(esti) vectorises over elements.
+//
+//   Pass 2 (parallel over sketch slots): slot j's state (weights[j],
+//   sketch[j]) only ever depends on its own history and the lf stream, so
+//   per-slot scans in element order are exact. decay_weight is a constant
+//   for the whole flush (countmin.go computes it once).
+//
+// Subnormal squash (drift mode): counters decay by *dw (dw <= exp(-ratio)
+// < 1) every element, so each cell spends ~40 multiplies in the subnormal
+// range before reaching zero — each a ~100-cycle microcode trap that
+// dominated the drift flush. Pass 1 runs with FTZ (subnormal multiply
+// results flushed to +0), which is OUTPUT-equivalent to Go's semantics:
+// a subnormal counter s (< 2^-1022) is only ever consumed by (a) further
+// *dw multiplies, which reach +0 within ~52 steps anyway, or (b) a +freq
+// increment with freq >= 1 (histogram counts), where RN(freq + s) == freq
+// exactly because s < ulp(freq)/2; the post-increment values (the only
+// reads: esti minima and the persistent state as seen by later increments)
+// are therefore bit-identical either way. The Python CMS paths apply the
+// same squash explicitly so cross-path state stays bit-equal
+// (tests/test_sketch_layer.py::test_drift_subnormal_squash_is_output_exact).
 void hulk_flush_exact(int64_t n, const int64_t* bins, const double* freqs,
                       const int32_t* row_bins, double* cms, int64_t depth,
                       int64_t width, int64_t s, int64_t dims, const double* c_t,
                       const double* b_t, const double* er_t, uint64_t* sketch,
                       double* weights, int32_t drift, double decay_weight) {
-    for (int64_t i = 0; i < n; i++) {
-        if (drift) {
-            int64_t total = depth * width;
-            for (int64_t j = 0; j < total; j++) cms[j] *= decay_weight;
-        }
-        double esti = 1.7976931348623157e+308;
-        const int32_t* rb = row_bins + i * depth;
-        for (int64_t d = 0; d < depth; d++) {
-            double* cell = cms + d * width + rb[d];
-            *cell += freqs[i];
-            if (*cell < esti) esti = *cell;
-        }
-        double lf = hulk_go_log(esti);
-        int64_t bin = bins[i];
-        for (int64_t j = 0; j < s; j++) {
-            double yka = hulk_go_exp(lf - b_t[j * dims + bin]);
-            double aka = c_t[j * dims + bin] / (yka * er_t[j * dims + bin]);
-            double cur = drift ? weights[j] / decay_weight : weights[j];
-            if (aka < cur) {
-                sketch[j] = (uint64_t)bin;
-                weights[j] = aka;
+    double* vals = new double[n * depth];
+    double* lf = new double[n];
+
+    #pragma omp parallel
+    {
+        const int nt = omp_get_num_threads();
+        const int t = omp_get_thread_num();
+        const int64_t total = depth * width;
+        const int64_t lo = total * t / nt;
+        const int64_t hi = total * (t + 1) / nt;
+        double* __restrict__ own = cms;
+#if defined(__SSE2__)
+        const unsigned int csr_save = _mm_getcsr();
+        if (drift) _mm_setcsr(csr_save | 0x8040);  // FTZ | DAZ, this pass only
+#endif
+        for (int64_t i = 0; i < n; i++) {
+            if (drift) {
+                for (int64_t cidx = lo; cidx < hi; cidx++) {
+#if defined(__SSE2__)
+                    own[cidx] *= decay_weight;
+#else
+                    const double v = own[cidx] * decay_weight;
+                    own[cidx] = (v >= 2.2250738585072014e-308) ? v : 0.0;
+#endif
+                }
+            }
+            const int32_t* rb = row_bins + i * depth;
+            const double f = freqs[i];
+            for (int64_t d = 0; d < depth; d++) {
+                const int64_t cell = d * width + rb[d];
+                if (cell >= lo && cell < hi) {
+                    own[cell] += f;
+                    vals[i * depth + d] = own[cell];
+                }
             }
         }
+#if defined(__SSE2__)
+        if (drift) _mm_setcsr(csr_save);
+#endif
     }
+
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        double esti = 1.7976931348623157e+308;
+        for (int64_t d = 0; d < depth; d++) {
+            const double v = vals[i * depth + d];
+            if (v < esti) esti = v;
+        }
+        lf[i] = hulk_go_log(esti);
+    }
+
+    #pragma omp parallel for schedule(static)
+    for (int64_t j = 0; j < s; j++) {
+        double wj = weights[j];
+        uint64_t sk = sketch[j];
+        const double* __restrict__ bj = b_t + j * dims;
+        const double* __restrict__ cj = c_t + j * dims;
+        const double* __restrict__ ej = er_t + j * dims;
+        for (int64_t i = 0; i < n; i++) {
+            const int64_t bin = bins[i];
+            const double yka = hulk_go_exp(lf[i] - bj[bin]);
+            const double aka = cj[bin] / (yka * ej[bin]);
+            const double cur = drift ? wj / decay_weight : wj;
+            if (aka < cur) {
+                sk = (uint64_t)bin;
+                wj = aka;
+            }
+        }
+        weights[j] = wj;
+        sketch[j] = sk;
+    }
+
+    delete[] vals;
+    delete[] lf;
 }
 
 // ---------------------------------------------------------------------------
@@ -280,6 +370,75 @@ int64_t hulk_pack_fastq(const uint8_t* buf, int64_t len, int32_t* phase_io,
         pos = (nl - buf) + 1;
     }
     *phase_io = phase;
+    *consumed_out = pos;
+    return nreads;
+}
+
+// FASTA parser+packer (reference FastqHandler FASTA mode,
+// src/pipeline/sketch.go:102-135): '>' starts a record and emits the
+// previous one; sequence lines append to the carry buffer (records span
+// chunk boundaries); an EMPTY line terminates the file's parsing, emitting
+// the in-progress record (the reference loop breaks at sketch.go:104-105 and
+// the trailing record is still flushed). Lines before the first header
+// accumulate then are discarded at the first '>', as in the reference.
+//
+// state_io: [have_header, terminated, carry_len, emitted_any]. The caller
+// feeds whole lines, emits the final carry at file end (have_header set),
+// errors if emitted_any stays 0, and resets state between files. Sequence
+// bytes beyond cap_len are dropped with carry_len clamped to cap_len — the
+// caller detects carry_len/lengths >= cap_len and retries with a wider
+// stride from a saved (state, carry) snapshot.
+int64_t hulk_pack_fasta(const uint8_t* buf, int64_t len, int32_t* state_io,
+                        uint8_t* carry, uint8_t* codes, int32_t* lengths,
+                        int64_t cap_reads, int64_t cap_len,
+                        int64_t* consumed_out) {
+    nt4_init();
+    int32_t have_header = state_io[0];
+    int32_t terminated = state_io[1];
+    int64_t carry_len = state_io[2];
+    int32_t emitted_any = state_io[3];
+    int64_t nreads = 0;
+    int64_t pos = 0;
+    while (pos < len && nreads < cap_reads) {
+        if (terminated) {
+            pos = len;  // discard the rest of the file
+            break;
+        }
+        const uint8_t* nl = (const uint8_t*)memchr(buf + pos, '\n', len - pos);
+        if (!nl) break;  // caller guarantees whole lines
+        int64_t llen = nl - (buf + pos);
+        if (llen > 0 && buf[pos + llen - 1] == '\r') llen--;
+        if (llen == 0) {
+            terminated = 1;
+            if (have_header) {  // emit the in-progress record now
+                memcpy(codes + nreads * cap_len, carry, carry_len);
+                lengths[nreads++] = (int32_t)carry_len;
+                emitted_any = 1;
+                have_header = 0;
+                carry_len = 0;
+            }
+        } else if (buf[pos] == '>') {
+            if (have_header) {
+                memcpy(codes + nreads * cap_len, carry, carry_len);
+                lengths[nreads++] = (int32_t)carry_len;
+                emitted_any = 1;
+            }
+            have_header = 1;
+            carry_len = 0;
+        } else {
+            // pre-header lines accumulate too (discarded at the first '>')
+            int64_t room = cap_len - carry_len;
+            int64_t L = llen < room ? llen : room;
+            for (int64_t i = 0; i < L; i++)
+                carry[carry_len + i] = NT4[buf[pos + i]];
+            carry_len += L;  // == cap_len on overflow -> caller widens
+        }
+        pos = (nl - buf) + 1;
+    }
+    state_io[0] = have_header;
+    state_io[1] = terminated;
+    state_io[2] = (int32_t)carry_len;
+    state_io[3] = emitted_any;
     *consumed_out = pos;
     return nreads;
 }

@@ -18,6 +18,13 @@ from hulk_tpu.hashes.jumphash import jump_hash_np
 EPSILON = 0.001
 DELTA = 0.99
 
+# Smallest normal f64. Decay multiplies squash subnormal results to +0 —
+# output-equivalent to keeping them (a subnormal counter is only ever read
+# through a +freq increment with freq >= 1, where it rounds away, or decayed
+# further toward the same +0) and ~40x fewer microcode traps; the native
+# flush applies the identical squash via FTZ (hulkrt.cpp, proof there).
+_TINY = float(np.finfo(np.float64).tiny)
+
 
 def cms_shape(epsilon: float = EPSILON, delta: float = DELTA) -> tuple[int, int]:
     g = int(math.ceil(2.0 / epsilon))
@@ -82,6 +89,7 @@ class CountMinSketch:
     def add(self, element: int, increment: float) -> float:
         if self.apply_scaling:
             self.sketch *= self.decay_weight
+            self.sketch[self.sketch < _TINY] = 0.0
         return self._traverse(int(element), float(increment))
 
     def _traverse(self, element: int, increment: float) -> float:
@@ -122,6 +130,7 @@ class CountMinSketch:
         for i in range(n):
             if scaling:
                 q *= decay
+                q[q < _TINY] = 0.0
             cols = row_bins[:, i]
             q[rows, cols] += increments[i]
             out[i] = q[rows, cols].min()
@@ -174,7 +183,9 @@ def _cms_scan_compiled(depth: int, scaling: bool):
             cols, f = xs
             live = f != 0.0
             if scaling:
-                q = jnp.where(live, q * dw, q)
+                qs = q * dw
+                qs = jnp.where(qs >= _TINY, qs, 0.0)  # subnormal squash
+                q = jnp.where(live, qs, q)
             q = q.at[rows, cols].add(jnp.where(live, f, 0.0))
             esti = q[rows, cols].min()
             return q, esti

@@ -84,8 +84,9 @@ def batch_reads_native(
     length_buckets: tuple[int, ...] = DEFAULT_LENGTH_BUCKETS,
     cut_every: int | None = None,
     max_read_len: int = 65536,
+    fasta: bool = False,
 ) -> Iterator[PackedReads]:
-    """FASTQ batches via the native C++ parser/packer (files only).
+    """FASTQ/FASTA batches via the native C++ parser/packer (files only).
 
     Reads are packed at max_read_len then column-sliced to the smallest
     length bucket covering the batch (keeps XLA compilations bounded).
@@ -95,7 +96,8 @@ def batch_reads_native(
     """
     from hulk_tpu import native
 
-    packer = native.NativeFastqPacker(cap_reads=batch_size, cap_len=max_read_len)
+    cls = native.NativeFastaPacker if fasta else native.NativeFastqPacker
+    packer = cls(cap_reads=batch_size, cap_len=max_read_len)
     emitted = 0
 
     def finish(codes, lengths):
@@ -140,6 +142,12 @@ def batch_reads_native(
                     break
                 for codes, lengths in packer.feed(chunk):
                     yield from splits(codes, lengths)
+        try:
+            tail = packer.end_of_file()
+        except ValueError as e:
+            raise FastqError(str(e)) from None
+        for codes, lengths in tail:
+            yield from splits(codes, lengths)
 
 
 def batch_reads(

@@ -148,7 +148,14 @@ class _DeviceStream:
             hmh.registers = np.asarray(self.hmh_regs).copy()
 
 
-def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResult:
+def run_sketch_pipeline(
+    reads: Iterator[bytes], cfg: SketchConfig, on_interval=None
+) -> SketchResult:
+    """on_interval: optional callable invoked with a HULKData snapshot of the
+    current histosketch after every interval flush — the documented (but
+    never implemented) reference `--stream` behaviour (cmd/sketch.go:56).
+    Interval snapshots carry the histosketch signature only; secondary
+    sketches would cost a device sync per interval."""
     k, w = cfg.kmer_size, cfg.window_size
     if not 0 < k < 32:
         raise PipelineError("k size must be: 0 < k < 32")
@@ -175,6 +182,13 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
             hs.add_elements(bins, freqs)
             spectrum.wipe()
 
+    def interval_flush():
+        flush()
+        if on_interval is not None:
+            snap = HULKData(filename=cfg.file_name, banner=cfg.banner_label)
+            snap.add(hs)
+            on_interval(snap)
+
     import jax
 
     use_device = cfg.device_stream
@@ -189,49 +203,73 @@ def run_sketch_pipeline(reads: Iterator[bytes], cfg: SketchConfig) -> SketchResu
         if cfg.input_paths is None or not native.available():
             raise PipelineError("native input path requested but unavailable")
         batches = batch_reads_native(
-            cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut
+            cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut,
+            fasta=cfg.fasta,
         )
     else:
         batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)
-    for batch in batches:
-        active = batch.lengths > 0
-        bad = short_read_mask(batch.lengths, k, w) & active
-        if bad.any():
-            raise PipelineError("sequence length must be >= w + k - 1")
-        if dev is not None:
-            dev.feed(batch)
-        else:
-            vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
-            vals = np.asarray(vals)
-            mask = np.asarray(mask)
-            flat = vals[mask]
-            minimizer_count += int(flat.shape[0])
-            if flat.shape[0]:
-                spectrum.add_hashes(flat)
-                if kmv is not None:
-                    kmv.add_hashes(flat)
-                if khf is not None:
-                    khf.add_hashes(flat)
-                if hmh is not None:
-                    hmh.add_hashes(flat)
-        n_in_batch = int(active.sum())
-        seq_count += n_in_batch
-        length_total += int(batch.lengths.sum())
-        while seq_count >= next_report:
-            log.info("\tprocessed %d sequences", next_report)
-            next_report += 100_000
-        if cut is not None and seq_count % cut == 0 and n_in_batch > 0:
-            log.info("\treached interval %d -> histosketching", seq_count // cut)
-            if dev is not None:
-                dev.drain_into(spectrum)
-            flush()
 
-    log.info("generating final histosketch of k-mer spectra...")
-    if dev is not None:
-        dev.drain_into(spectrum)
-        dev.collect(kmv, khf, hmh)
-        minimizer_count = dev.minimizer_total()
-    flush()
+    # Interval flushes on the device path run in a single background worker:
+    # the host CWS/CMS scan (native, exact) overlaps the next interval's
+    # device streaming. Only one flush is ever in flight (the histosketch is
+    # sequential across intervals), enforced by waiting before each drain.
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(1)
+    pending = None
+
+    def wait_flush():
+        nonlocal pending
+        if pending is not None:
+            pending.result()
+            pending = None
+
+    try:
+        for batch in batches:
+            active = batch.lengths > 0
+            bad = short_read_mask(batch.lengths, k, w) & active
+            if bad.any():
+                raise PipelineError("sequence length must be >= w + k - 1")
+            if dev is not None:
+                dev.feed(batch)
+            else:
+                vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
+                vals = np.asarray(vals)
+                mask = np.asarray(mask)
+                flat = vals[mask]
+                minimizer_count += int(flat.shape[0])
+                if flat.shape[0]:
+                    spectrum.add_hashes(flat)
+                    if kmv is not None:
+                        kmv.add_hashes(flat)
+                    if khf is not None:
+                        khf.add_hashes(flat)
+                    if hmh is not None:
+                        hmh.add_hashes(flat)
+            n_in_batch = int(active.sum())
+            seq_count += n_in_batch
+            length_total += int(batch.lengths.sum())
+            while seq_count >= next_report:
+                log.info("\tprocessed %d sequences", next_report)
+                next_report += 100_000
+            if cut is not None and seq_count % cut == 0 and n_in_batch > 0:
+                log.info("\treached interval %d -> histosketching", seq_count // cut)
+                if dev is not None:
+                    wait_flush()
+                    dev.drain_into(spectrum)
+                    pending = pool.submit(interval_flush)
+                else:
+                    interval_flush()
+
+        log.info("generating final histosketch of k-mer spectra...")
+        wait_flush()
+        if dev is not None:
+            dev.drain_into(spectrum)
+            dev.collect(kmv, khf, hmh)
+            minimizer_count = dev.minimizer_total()
+        flush()
+    finally:
+        pool.shutdown(wait=False)
 
     if seq_count == 0:
         raise PipelineError("no sequences received")

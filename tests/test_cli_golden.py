@@ -181,3 +181,27 @@ def test_sketch_multi_file_comma(tmp_path):
     assert g["signatures"] == g2["signatures"]
     e = json.loads(open(os.path.join(GOLDEN, "fixture-default.json")).read())
     assert g["signatures"] == e["signatures"]  # same reads, same sketch
+
+
+def test_stream_interval_output(tmp_path, capsysbinary):
+    """--stream with -i emits a HULKData JSON line per interval flush (the
+    documented reference capability, cmd/sketch.go:56) plus the final one."""
+    import json
+
+    run_cli(
+        ["sketch", "-f", FIXTURE, "-o", "st", "-p", "1", "-i", "250", "--stream"],
+        tmp_path,
+    )
+    out = capsysbinary.readouterr().out
+    # each emission is an indented JSON object + newline
+    chunks = out.split(b'{\n    "class": "hulk_sketch"')[1:]
+    assert len(chunks) == 5  # 4 intervals (1000/250) + final full output
+    for ch in chunks:
+        d = json.loads(b'{\n    "class": "hulk_sketch"' + ch)
+        assert d["class"] == "hulk_sketch"
+        assert d["signatures"][0]["Algorithm"] == "histosketch"
+    # interval snapshots accumulate: the last interval snapshot equals the
+    # final sketch (single final flush saw the same data)
+    lastiv = json.loads(b'{\n    "class": "hulk_sketch"' + chunks[3])
+    final = json.loads((tmp_path / "st.json").read_text())
+    assert lastiv["signatures"][0]["Sketch"]["mins"] == final["signatures"][0]["Sketch"]["mins"]

@@ -164,3 +164,79 @@ def test_pipeline_native_input_matches(tmp_path):
     assert np.array_equal(h1.get_sketch(), h2.get_sketch())
     assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
     assert r1.minimizer_count == r2.minimizer_count
+
+
+def test_native_fasta_packer_matches_python(tmp_path):
+    """Native FASTA parser vs the Python reader: multi-line records, records
+    spanning chunk boundaries, CRLF, a file not ending in newline, per-file
+    state reset, and the empty-line termination quirk."""
+    import numpy as np
+
+    from hulk_tpu.ops.encode import pack_reads
+    from hulk_tpu.stream.fastq import batch_reads_native, stream_reads
+
+    rng = np.random.default_rng(4)
+    f1 = tmp_path / "a.fna"
+    with open(f1, "wb") as fh:
+        for i in range(137):
+            n = int(rng.integers(30, 700))
+            seq = bytes(rng.choice(list(b"ACGTN"), size=n).tolist())
+            fh.write(b">c%d some description\r\n" % i)
+            for j in range(0, n, 61):  # multi-line, CRLF mixed in
+                fh.write(seq[j : j + 61] + (b"\r\n" if j % 2 else b"\n"))
+    f2 = tmp_path / "b.fna"
+    data = b">only\nACGTACGTACGTACGTACGTACGTACGTACGTACGTAC"  # no trailing \n
+    f2.write_bytes(data)
+    f3 = tmp_path / "c.fna"
+    f3.write_bytes(
+        b">x\nACGTACGTACGTACGTACGTACGTACGTACG\n\n>ignored\nGGGG\n"
+    )  # empty line terminates the file; the rest is discarded
+
+    paths = [str(f1), str(f2), str(f3)]
+    got = []
+    for b in batch_reads_native(paths, batch_size=64, fasta=True):
+        for i in range(b.codes.shape[0]):
+            if b.lengths[i] > 0:
+                got.append(bytes(b.codes[i, : b.lengths[i]]))
+    exp_reads = list(stream_reads(paths, fasta=True))
+    exp = []
+    for r in exp_reads:
+        if len(r) > 0:
+            p = pack_reads([r], pad_to=len(r))
+            exp.append(bytes(p.codes[0, : len(r)]))
+    assert len(got) == len(exp) == 137 + 1 + 1
+    assert got == exp
+
+
+def test_native_fasta_no_records_error(tmp_path):
+    import pytest as _pytest
+
+    from hulk_tpu.stream.fastq import FastqError, batch_reads_native
+
+    f = tmp_path / "empty.fna"
+    f.write_bytes(b"ACGT\nACGT\n")  # sequence but no header
+    with _pytest.raises(FastqError, match="no FASTA records"):
+        list(batch_reads_native([str(f)], batch_size=8, fasta=True))
+
+
+def test_pipeline_native_fasta_matches_python(tmp_path):
+    import numpy as np
+
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    rng = np.random.default_rng(5)
+    f = tmp_path / "reads.fasta"
+    with open(f, "wb") as fh:
+        for i in range(400):
+            seq = bytes(rng.choice(list(b"ACGT"), size=150).tolist())
+            fh.write(b">r%d\n" % i + seq[:80] + b"\n" + seq[80:] + b"\n")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, device_stream=False, fasta=True)
+    r1 = run_sketch_pipeline(stream_reads([str(f)], fasta=True), SketchConfig(**kw))
+    r2 = run_sketch_pipeline(None, SketchConfig(**kw, input_paths=[str(f)]))
+    h1 = dict(r1.hulk_data.signatures)["histosketch"]
+    h2 = dict(r2.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.get_sketch(), h2.get_sketch())
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+    assert r1.minimizer_count == r2.minimizer_count

@@ -269,3 +269,52 @@ def test_hyperminhash_low_bit_inputs():
     assert 0.3 < j < 0.7
     card = ha.cardinality()
     assert 0.85 * 20000 < card < 1.15 * 20000
+
+
+def test_drift_subnormal_squash_is_output_exact():
+    """Drift decay squashes subnormal counter results to +0 (FTZ in the
+    native flush, explicit in the Python paths). Prove it is OUTPUT-exact vs
+    Go's keep-the-subnormals semantics: run long enough that counters cross
+    the subnormal range between touches (decay 0.9 -> subnormal after ~790
+    elements) and compare every post-increment CMS estimate and the final
+    flush outputs against a raw numpy reference that keeps subnormals."""
+    from hulk_tpu.hashes.cws import build_cws_tables
+    from hulk_tpu.hashes.fdlibm import go_exp
+    from hulk_tpu.sketch.countmin import CountMinSketch, cms_row_bins
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    dims, n, s, decay = 4096, 1500, 6, 0.9
+    rng = np.random.default_rng(3)
+    bins = np.sort(rng.choice(dims, n, replace=False)).astype(np.int64)
+    freqs = rng.integers(1, 50, n).astype(np.float64)
+
+    cms = CountMinSketch(decay_ratio=decay)
+    rb = cms_row_bins(bins.astype(np.uint64), cms.depth, cms.width)
+
+    # raw reference: Go semantics verbatim, subnormals kept
+    q = np.zeros((cms.depth, cms.width), dtype=np.float64)
+    dw = float(go_exp(-decay))
+    rows = np.arange(cms.depth)
+    raw_estis = np.empty(n)
+    for i in range(n):
+        q *= dw
+        cols = rb[:, i]
+        q[rows, cols] += freqs[i]
+        raw_estis[i] = q[rows, cols].min()
+    assert (q[(q != 0) & (q < np.finfo(np.float64).tiny)].size) > 0, (
+        "scenario failed to produce subnormal counters; strengthen it"
+    )
+
+    got_estis = cms.add_many(rb, freqs)
+    assert np.array_equal(got_estis, raw_estis)
+
+    # and through the full flush (native path when available)
+    tables = build_cws_tables(s, dims)
+    hs = HistoSketch(21, s, dims, decay, tables=tables)
+    hs.add_elements(bins, freqs)
+
+    hs2 = HistoSketch(21, s, dims, decay, tables=tables)
+    for i in range(n):  # element-at-a-time scalar path
+        hs2.add_element(int(bins[i]), float(freqs[i]))
+    assert np.array_equal(hs.sketch, hs2.sketch)
+    assert np.array_equal(hs.sketch_weights, hs2.sketch_weights)
