@@ -171,6 +171,23 @@ def run_sketch(args) -> None:
         file_name=(",".join(fastq) + ",") if fastq else "STDIN",
     )
 
+    # multi-host: each process takes a static file shard; partial states are
+    # merged exactly at the end (pipeline) and process 0 writes the output
+    import jax
+
+    if jax.process_count() > 1:
+        from hulk_tpu.parallel.distributed import process_read_shard
+
+        if not fastq:
+            _error_check("multi-host runs require file inputs (no STDIN)")
+        all_files = fastq
+        fastq = process_read_shard(fastq)
+        cfg.file_name = ",".join(all_files) + ","
+        log.info(
+            "\tmulti-host: process %d/%d takes %d of %d files",
+            jax.process_index(), jax.process_count(), len(fastq), len(all_files),
+        )
+
     log.info("initialising sketching pipeline...")
     log.info("finding minimizers...")
     from hulk_tpu import native
@@ -219,6 +236,9 @@ def run_sketch(args) -> None:
     log.info("\thistosketching across %d bins", spectrum_size)
     log.info("cleaning up...")
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        log.info("finished in %.6fs (output written by process 0)", time.time() - start)
+        return
     result.hulk_data.write_json(args.outFile + ".json")
     log.info("\twritten sketch to disk: %s", args.outFile + ".json")
     if args.stream:
@@ -431,6 +451,9 @@ def run_index(args) -> None:
 
 def main(argv=None) -> int:
     _apply_platform_env()
+    from hulk_tpu.parallel.distributed import init_distributed
+
+    init_distributed()
     args = build_parser().parse_args(argv)
     if args.subcommand == "sketch":
         run_sketch(args)

@@ -116,22 +116,10 @@ def stream_bucket(r: int, total: int) -> int:
     return min(32 * r, total)
 
 
-@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
-def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
-                       pallas: bool = False):
-    """One fully-device streaming step with NO host synchronisation.
-
-    The compacted path (device_step module docstring) needs the live-lane
-    count to pick a slice width; reading it back costs a host round trip per
-    step — through a remote-device tunnel that dwarfs the compute. Instead
-    the bucket choice happens on device with lax.cond: the common branch bins
-    the `bucket`-wide sorted prefix, the rare overflow branch bins full
-    width. Both are exact; hist and the minimizer counter are donated
-    carries, so a stream of steps is pure async dispatch.
-
-    Returns (hist, count, svals) — svals (sorted, sentinel-padded) feeds the
-    KMV/KHF/HMH device updates without recomputing the scan.
-    """
+def stream_step_body(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
+                     pallas: bool = False):
+    """Unjitted body of sketch_stream_step — reused inside shard_map by the
+    data-parallel stream (parallel/mesh.make_sharded_stream_step)."""
     vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
     cnt = jnp.sum(mask)
     flat = jnp.where(mask, vals, _U64SENT).reshape(-1)
@@ -149,6 +137,27 @@ def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: i
             hist,
         )
     return hist, count + cnt.astype(count.dtype), svals
+
+
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
+def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
+                       pallas: bool = False):
+    """One fully-device streaming step with NO host synchronisation.
+
+    The compacted path (device_step module docstring) needs the live-lane
+    count to pick a slice width; reading it back costs a host round trip per
+    step — through a remote-device tunnel that dwarfs the compute. Instead
+    the bucket choice happens on device with lax.cond: the common branch bins
+    the `bucket`-wide sorted prefix, the rare overflow branch bins full
+    width. Both are exact; hist and the minimizer counter are donated
+    carries, so a stream of steps is pure async dispatch.
+
+    Returns (hist, count, svals) — svals (sorted, sentinel-padded) feeds the
+    KMV/KHF/HMH device updates without recomputing the scan.
+    """
+    return stream_step_body(
+        hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
+    )
 
 
 # The device-resident flush (CMS + CWS scan over a dense histogram) lives in

@@ -37,6 +37,21 @@ def init_distributed() -> bool:
     return True
 
 
+def allgather(x) -> "np.ndarray":
+    """Gather a host array from every process -> [nprocs, ...] on all hosts.
+    All processes must pass the same shape/dtype."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+
+
+def allreduce_sum(x) -> "np.ndarray":
+    """Exact cross-process sum of a host array (integer-valued f64 histogram
+    counts and scalar counters sum exactly)."""
+    return allgather(x).sum(axis=0)
+
+
 def process_read_shard(paths: list[str]) -> list[str]:
     """Static file-level sharding of the input across processes: process i
     takes files i, i+N, i+2N... (deterministic; global read order within a

@@ -39,6 +39,60 @@ def make_sketch_mesh(n_dp: int | None = None, n_mp: int = 1, devices=None) -> Me
     return Mesh(devices.reshape(n_dp, n_mp), ("dp", "mp"))
 
 
+def make_sharded_stream_step(
+    mesh: Mesh,
+    *,
+    k: int,
+    w: int,
+    bucket: int,
+    pallas: bool = False,
+    use_kmv: bool = False,
+    use_khf: bool = False,
+    use_hmh: bool = False,
+    hmh_pqr: tuple | None = None,
+):
+    """Data-parallel production stream step: reads sharded over dp, each
+    shard maintaining its OWN histogram/count/secondary-sketch carries — no
+    collectives per step (the merge is exact and happens once per interval on
+    the host: integer histogram sum, KMV bottom-k union, KHF elementwise min,
+    HMH register max). All carries are donated, so a stream of steps is pure
+    async dispatch, exactly like the single-device path.
+
+    Signature of the returned step:
+        (hist [D,nbins] i32, count [D] i64, codes [R,L], lengths [R],
+         kmv [D,s], khf [D,s], hmh [D,m])
+        -> (hist, count, kmv, khf, hmh)
+    Disabled sketches ride through as [D,1] dummies.
+    """
+    from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
+    from hulk_tpu.ops.device_step import stream_step_body
+
+    def local_step(hist, count, codes, lengths, kmv, khf, hmh):
+        hist, count, kmv, khf, hmh = hist[0], count[0], kmv[0], khf[0], hmh[0]
+        hist, count, svals = stream_step_body(
+            hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
+        )
+        if use_kmv:
+            kmv = kmv_update(kmv, svals)
+        if use_khf:
+            khf = khf_update(khf, svals)
+        if use_hmh:
+            p, q, r = hmh_pqr
+            hmh = hmh_update(hmh, svals, p=p, q=q, r=r)
+        return hist[None], count[None], kmv[None], khf[None], hmh[None]
+
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P("dp"), P("dp", None), P("dp"),
+            P("dp", None), P("dp", None), P("dp", None),
+        ),
+        out_specs=(P("dp", None), P("dp"), P("dp", None), P("dp", None), P("dp", None)),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 4, 5, 6))
+
+
 def sharded_histogram_step(mesh: Mesh, nbins: int, k: int, w: int):
     """Build a pjit-ted step: [R, L] reads (sharded over dp) -> replicated
     histogram increment, merged with psum over dp."""

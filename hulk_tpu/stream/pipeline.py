@@ -48,6 +48,7 @@ class SketchConfig:
     batch_size: int = 2048
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
     device_stream: bool | None = None  # None -> auto (on when backend != cpu)
+    data_parallel: bool | None = None  # None -> auto (shard when >1 device)
     input_paths: list | None = None  # set -> native C++ parser feeds batches
 
     def resolved_spectrum_size(self) -> int:
@@ -148,6 +149,116 @@ class _DeviceStream:
             hmh.registers = np.asarray(self.hmh_regs).copy()
 
 
+class _ShardedDeviceStream:
+    """Data-parallel device stream over a dp mesh: each device owns its own
+    histogram/count/secondary-sketch carries (no per-step collectives); the
+    merge is exact and happens on the host at interval boundaries (integer
+    histogram sum, KMV bottom-k union, KHF elementwise min, HMH register
+    max). N-device output is bit-identical to the 1-device output because
+    binning is deterministic and all merges are order-free.
+    """
+
+    def __init__(self, cfg: SketchConfig, nbins: int, ndev: int):
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hulk_tpu.ops.device_step import pallas_supported, stream_bucket
+        from hulk_tpu.parallel.mesh import make_sketch_mesh, make_sharded_stream_step
+
+        self.cfg = cfg
+        self.nbins = nbins
+        self.ndev = ndev
+        self.mesh = make_sketch_mesh(n_dp=ndev, n_mp=1, devices=jax.devices()[:ndev])
+        self._shard2d = NamedSharding(self.mesh, P("dp", None))
+        self._shard1d = NamedSharding(self.mesh, P("dp"))
+        s = cfg.sketch_size
+        self.hist = jax.device_put(
+            jnp.zeros((ndev, nbins), dtype=jnp.int32), self._shard2d
+        )
+        self.count = jax.device_put(
+            jnp.zeros(ndev, dtype=jnp.int64), self._shard1d
+        )
+        sent = 0xFFFFFFFFFFFFFFFF
+        self.kmv_state = jax.device_put(
+            jnp.full((ndev, s if cfg.kmv else 1), sent, dtype=jnp.uint64), self._shard2d
+        )
+        self.khf_state = jax.device_put(
+            jnp.full((ndev, s if cfg.khf else 1), sent, dtype=jnp.uint64), self._shard2d
+        )
+        hmh_pqr = None
+        m = 1
+        if cfg.hmh:
+            from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
+
+            hmh_pqr = (DEFAULT_P, DEFAULT_Q, DEFAULT_R)
+            m = 1 << DEFAULT_P
+        self.hmh_regs = jax.device_put(
+            jnp.zeros((ndev, m), dtype=jnp.uint64), self._shard2d
+        )
+        self.pallas = pallas_supported()
+        self._steps: dict = {}
+        self._mkstep = lambda r, l: make_sharded_stream_step(
+            self.mesh,
+            k=cfg.kmer_size,
+            w=cfg.window_size,
+            bucket=stream_bucket(r // ndev, (r // ndev) * l),
+            pallas=self.pallas,
+            use_kmv=cfg.kmv,
+            use_khf=cfg.khf,
+            use_hmh=cfg.hmh,
+            hmh_pqr=hmh_pqr,
+        )
+
+    def feed(self, batch) -> None:
+        import jax
+        import numpy as np_
+
+        codes, lengths = batch.codes, batch.lengths
+        r, l = codes.shape
+        pad = (-r) % self.ndev
+        if pad:
+            codes = np_.concatenate(
+                [codes, np_.full((pad, l), 5, dtype=codes.dtype)]
+            )
+            lengths = np_.concatenate([lengths, np_.zeros(pad, dtype=lengths.dtype)])
+            r += pad
+        step = self._steps.get((r, l))
+        if step is None:
+            step = self._steps[(r, l)] = self._mkstep(r, l)
+        dc = jax.device_put(codes, self._shard2d)
+        dl = jax.device_put(lengths, self._shard1d)
+        self.hist, self.count, self.kmv_state, self.khf_state, self.hmh_regs = step(
+            self.hist, self.count, dc, dl,
+            self.kmv_state, self.khf_state, self.hmh_regs,
+        )
+
+    def minimizer_total(self) -> int:
+        return int(np.asarray(self.count).sum())
+
+    def drain_into(self, spectrum) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        h = np.asarray(self.hist).astype(np.int64).sum(axis=0).astype(np.float64)
+        if h.any():
+            spectrum.add_dense(h)
+            self.hist = jax.device_put(
+                jnp.zeros((self.ndev, self.nbins), dtype=jnp.int32), self._shard2d
+            )
+
+    def collect(self, kmv, khf, hmh) -> None:
+        sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+        if kmv is not None:
+            vals = np.sort(np.asarray(self.kmv_state).reshape(-1))
+            vals = vals[vals != sent]
+            kmv._values = vals[: self.cfg.sketch_size]
+        if khf is not None:
+            khf.sketch = np.asarray(self.khf_state).min(axis=0)
+        if hmh is not None:
+            hmh.registers = np.asarray(self.hmh_regs).max(axis=0)
+
+
 def run_sketch_pipeline(
     reads: Iterator[bytes], cfg: SketchConfig, on_interval=None
 ) -> SketchResult:
@@ -194,7 +305,22 @@ def run_sketch_pipeline(
     use_device = cfg.device_stream
     if use_device is None:
         use_device = jax.default_backend() != "cpu"
-    dev = _DeviceStream(cfg, nbins) if use_device else None
+    ndev = len(jax.local_devices())
+    use_dp = cfg.data_parallel
+    if use_dp is None:
+        use_dp = ndev > 1
+    multi_host = jax.process_count() > 1
+    if multi_host and cfg.interval:
+        raise PipelineError(
+            "interval flushing requires a single process (multi-host runs "
+            "shard whole files; use interval=0)"
+        )
+    if use_device and use_dp and ndev > 1:
+        dev = _ShardedDeviceStream(cfg, nbins, ndev)
+    elif use_device:
+        dev = _DeviceStream(cfg, nbins)
+    else:
+        dev = None
 
     cut = cfg.interval if cfg.interval else None
     if reads is None:
@@ -267,6 +393,32 @@ def run_sketch_pipeline(
             dev.drain_into(spectrum)
             dev.collect(kmv, khf, hmh)
             minimizer_count = dev.minimizer_total()
+
+        if multi_host:
+            # merge the per-process partial states (exact: integer histogram
+            # sum, bottom-k union, elementwise min / register max), then run
+            # the identical flush everywhere — every process ends up with the
+            # same HULKData and the caller writes from process 0 only.
+            from hulk_tpu.parallel import distributed as dist
+
+            log.info("\tmerging %d process shards...", jax.process_count())
+            spectrum.bins = dist.allreduce_sum(spectrum.bins)
+            seq_count = int(dist.allreduce_sum(np.array([seq_count]))[0])
+            length_total = int(dist.allreduce_sum(np.array([length_total]))[0])
+            minimizer_count = int(
+                dist.allreduce_sum(np.array([minimizer_count]))[0]
+            )
+            if kmv is not None:
+                sent = np.uint64(0xFFFFFFFFFFFFFFFF)
+                padded = np.full(cfg.sketch_size, sent, dtype=np.uint64)
+                padded[: kmv._values.shape[0]] = kmv._values
+                vals = np.sort(dist.allgather(padded).reshape(-1))
+                vals = vals[vals != sent]
+                kmv._values = vals[: cfg.sketch_size]
+            if khf is not None:
+                khf.sketch = dist.allgather(khf.sketch).min(axis=0)
+            if hmh is not None:
+                hmh.registers = dist.allgather(hmh.registers).max(axis=0)
         flush()
     finally:
         pool.shutdown(wait=False)

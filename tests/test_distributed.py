@@ -1,0 +1,83 @@
+"""True multi-process test: two OS processes under jax.distributed, each
+sketching its file shard of the fixture; the merged output written by
+process 0 must be bit-identical to a single-process run over both files.
+"""
+import gzip
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+FIXTURE = "/root/reference/testing/test-reads-small.fq.gz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE), reason="reference fixture not mounted"
+)
+
+
+def _split_fixture(tmp_path):
+    lines = gzip.open(FIXTURE, "rb").read().splitlines(keepends=True)
+    half = (len(lines) // 2) // 4 * 4
+    (tmp_path / "a.fq").write_bytes(b"".join(lines[:half]))
+    (tmp_path / "b.fq").write_bytes(b"".join(lines[half:]))
+    return str(tmp_path / "a.fq"), str(tmp_path / "b.fq")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sketch_matches_single(tmp_path):
+    fa, fb = _split_fixture(tmp_path)
+    out_multi = str(tmp_path / "multi")
+    port = _free_port()
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            HULK_PLATFORM="cpu",
+            JAX_PLATFORMS="cpu",
+            HULK_COORDINATOR=f"127.0.0.1:{port}",
+            HULK_NUM_PROCS="2",
+            HULK_PROC_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "hulk_tpu.cli", "sketch",
+                    "-f", fa, "-f", fb, "-k", "11", "-s", "8",
+                    "-o", out_multi, "-p", "1",
+                ],
+                env=env, cwd=tmp_path,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+    # single-process reference over the same two files
+    env = dict(os.environ, HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_single = str(tmp_path / "single")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "hulk_tpu.cli", "sketch",
+            "-f", fa, "-f", fb, "-k", "11", "-s", "8",
+            "-o", out_single, "-p", "1",
+        ],
+        env=env, cwd=tmp_path, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+
+    multi = json.load(open(out_multi + ".json"))
+    single = json.load(open(out_single + ".json"))
+    assert multi["signatures"] == single["signatures"]
+    assert multi["filename"] == single["filename"]

@@ -90,3 +90,61 @@ def test_compact_stream_step_matches_host():
     host.add_hashes(np.asarray(vals)[np.asarray(mask)])
     assert np.array_equal(np.asarray(hist).astype(np.float64), host.bins)
     assert int(cnt) == int(np.asarray(mask).sum())
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_sharded_pipeline_matches_unsharded():
+    """The production data-parallel stream (what `hulk sketch` runs when >1
+    device is visible): 8-way dp-sharded output must be bit-identical to the
+    single-device path, including the secondary sketches."""
+    import gzip
+    import os
+
+    from hulk_tpu.stream.fastq import batch_reads, stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    fixture = "/root/reference/testing/test-reads-small.fq.gz"
+    if not os.path.exists(fixture):
+        pytest.skip("fixture missing")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, kmv=True, khf=True, hmh=True)
+    r1 = run_sketch_pipeline(
+        stream_reads([fixture]), SketchConfig(**kw, device_stream=False)
+    )
+    r2 = run_sketch_pipeline(
+        stream_reads([fixture]),
+        SketchConfig(**kw, device_stream=True, data_parallel=True, batch_size=256),
+    )
+    s1 = dict(r1.hulk_data.signatures)
+    s2 = dict(r2.hulk_data.signatures)
+    assert r1.minimizer_count == r2.minimizer_count
+    for algo in ("histosketch", "kmv", "khf", "hyperminhash"):
+        assert np.array_equal(s1[algo].get_sketch(), s2[algo].get_sketch()), algo
+    assert np.array_equal(s1["histosketch"].sketch_weights, s2["histosketch"].sketch_weights)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_dp_sharded_pipeline_interval_flushes():
+    """Interval flushes on the dp-sharded stream land at the same global read
+    indices and give the same result as the unsharded host path."""
+    import os
+
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    fixture = "/root/reference/testing/test-reads-small.fq.gz"
+    if not os.path.exists(fixture):
+        pytest.skip("fixture missing")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, interval=250)
+    r1 = run_sketch_pipeline(
+        stream_reads([fixture]), SketchConfig(**kw, device_stream=False)
+    )
+    r2 = run_sketch_pipeline(
+        stream_reads([fixture]),
+        SketchConfig(**kw, device_stream=True, data_parallel=True, batch_size=128),
+    )
+    h1 = dict(r1.hulk_data.signatures)["histosketch"]
+    h2 = dict(r2.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.get_sketch(), h2.get_sketch())
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
