@@ -46,28 +46,102 @@ def test_dp_histogram_matches_host():
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_dp_mp_mesh_flush_close_to_host():
-    packed, _ = mkbatch(64)
-    mesh = make_sketch_mesh(n_dp=4, n_mp=2)
-    step = sharded_histogram_step(mesh, NBINS, K, W)
-    hist, _ = step(packed.codes, packed.lengths)
-
-    tables = build_cws_tables(S, NBINS)
-    depth, width = cms_shape()
-    flush = sharded_flush_step(mesh, tables, 0.0, False, depth, width)
-    c_sh, b_sh, er_sh = shard_tables(mesh, tables)
+    """Parallel device flush vs exact host flush, composing across two
+    interval flushes via the CMS carry."""
     import jax.numpy as jnp
 
-    sk0 = jnp.zeros(S, dtype=jnp.int64)
-    w0 = jnp.full(S, np.finfo(np.float64).max)
-    sk, wts = flush(hist, sk0, w0, c_sh, b_sh, er_sh)
+    from hulk_tpu.sketch.countmin import cms_row_bins_table
 
+    mesh = make_sketch_mesh(n_dp=4, n_mp=2)
+    step = sharded_histogram_step(mesh, NBINS, K, W)
+    tables = build_cws_tables(S, NBINS)
+    depth, width = cms_shape()
+    flush = sharded_flush_step(mesh, 0.0, False, depth, width)
+    c_sh, b_sh, er_sh = shard_tables(mesh, tables)
+    row_bins = jnp.asarray(cms_row_bins_table(NBINS, depth, width))
+
+    sk = jnp.zeros(S, dtype=jnp.int64)
+    wts = jnp.full(S, np.finfo(np.float64).max)
+    cms = jnp.zeros((depth, width), dtype=jnp.float64)
     host = HistoSketch(K, S, NBINS, 1.0, tables=tables)
-    ids = np.nonzero(np.asarray(hist))[0].astype(np.int64)
-    host.add_elements(ids, np.asarray(hist)[ids])
 
-    # device flush uses XLA exp/log: bin choices must agree, weights to ~1 ULP
+    for round_ in range(2):  # two interval flushes: CMS must carry across
+        packed, _ = mkbatch(64)
+        hist, _ = step(packed.codes, packed.lengths)
+        cms, sk, wts = flush(hist, row_bins, cms, sk, wts, c_sh, b_sh, er_sh)
+        ids = np.nonzero(np.asarray(hist))[0].astype(np.int64)
+        host.add_elements(ids, np.asarray(hist).astype(np.float64)[ids])
+
+    # device flush uses XLA exp/log: bin choices must agree, weights ~1 ULP,
+    # CMS counters exactly (integer sums)
     assert np.array_equal(np.asarray(sk, dtype=np.uint64), host.sketch)
     np.testing.assert_allclose(np.asarray(wts), host.sketch_weights, rtol=1e-12)
+    assert np.array_equal(np.asarray(cms), host.cms.sketch)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_flush_drift_matches_host():
+    import jax.numpy as jnp
+
+    from hulk_tpu.hashes.fdlibm import go_exp
+    from hulk_tpu.sketch.countmin import cms_row_bins_table
+
+    mesh = make_sketch_mesh(n_dp=4, n_mp=2)
+    step = sharded_histogram_step(mesh, NBINS, K, W)
+    tables = build_cws_tables(S, NBINS)
+    depth, width = cms_shape()
+    decay = 0.9
+    dw = float(go_exp(-decay))
+    flush = sharded_flush_step(mesh, dw, True, depth, width)
+    c_sh, b_sh, er_sh = shard_tables(mesh, tables)
+    row_bins = jnp.asarray(cms_row_bins_table(NBINS, depth, width))
+
+    packed, _ = mkbatch(64)
+    hist, _ = step(packed.codes, packed.lengths)
+    sk = jnp.zeros(S, dtype=jnp.int64)
+    wts = jnp.full(S, np.finfo(np.float64).max)
+    cms = jnp.zeros((depth, width), dtype=jnp.float64)
+    cms, sk, wts = flush(hist, row_bins, cms, sk, wts, c_sh, b_sh, er_sh)
+
+    host = HistoSketch(K, S, NBINS, decay, tables=tables)
+    ids = np.nonzero(np.asarray(hist))[0].astype(np.int64)
+    host.add_elements(ids, np.asarray(hist).astype(np.float64)[ids])
+    assert np.array_equal(np.asarray(sk, dtype=np.uint64), host.sketch)
+    np.testing.assert_allclose(np.asarray(wts), host.sketch_weights, rtol=1e-12)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_mesh_flush_corpus_sweep_csv_precision():
+    """The exactness decision's evidence (mesh.py docstring): across a corpus
+    of random flushes, the device flush must pick identical sketch bins and
+    weights that round identically at the smash CSV's %.2f precision."""
+    import jax.numpy as jnp
+
+    from hulk_tpu.sketch.countmin import cms_row_bins_table
+
+    mesh = make_sketch_mesh(n_dp=8, n_mp=1)
+    tables = build_cws_tables(S, NBINS)
+    depth, width = cms_shape()
+    flush = sharded_flush_step(mesh, 0.0, False, depth, width)
+    c_sh, b_sh, er_sh = shard_tables(mesh, tables)
+    row_bins = jnp.asarray(cms_row_bins_table(NBINS, depth, width))
+
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        hist = np.zeros(NBINS, dtype=np.int32)
+        ids = r.choice(NBINS, NBINS // 12, replace=False)
+        hist[ids] = r.integers(1, 300, ids.shape[0])
+        sk = jnp.zeros(S, dtype=jnp.int64)
+        wts = jnp.full(S, np.finfo(np.float64).max)
+        cms = jnp.zeros((depth, width), dtype=jnp.float64)
+        cms, sk, wts = flush(jnp.asarray(hist), row_bins, cms, sk, wts, c_sh, b_sh, er_sh)
+
+        host = HistoSketch(K, S, NBINS, 1.0, tables=tables)
+        nz = np.nonzero(hist)[0].astype(np.int64)
+        host.add_elements(nz, hist.astype(np.float64)[nz])
+        assert np.array_equal(np.asarray(sk, dtype=np.uint64), host.sketch), seed
+        # weights agree beyond CSV precision (smash cells print %.2f)
+        np.testing.assert_allclose(np.asarray(wts), host.sketch_weights, rtol=1e-12)
 
 
 def test_compact_stream_step_matches_host():
