@@ -67,16 +67,19 @@ def main() -> None:
     exact = bool(np.array_equal(np.asarray(h_dev).astype(np.float64), host.bins))
 
     from hulk_tpu.ops.device_step import (
+        fused_bits_ok,
         pallas_supported,
         sketch_stream_step,
+        sketch_stream_step_fused,
         stream_bucket,
     )
 
     BUCKET = stream_bucket(R, R * L)
     PALLAS = pallas_supported()
+    STEP = sketch_stream_step_fused if fused_bits_ok(K, R) else sketch_stream_step
 
     def stream_step(hist, count, codes_d, lengths_d):
-        hist, count, _ = sketch_stream_step(
+        hist, count, _ = STEP(
             hist, count, codes_d, lengths_d, k=K, w=W, bucket=BUCKET, pallas=PALLAS
         )
         return hist, count

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 import hulk_tpu._jax_config  # noqa: F401
 from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
-from hulk_tpu.ops.minimizer import minimizer_scan
+from hulk_tpu.ops.minimizer import minimizer_scan, minimizer_window
 
 
 def pallas_supported() -> bool:
@@ -137,6 +137,97 @@ def stream_step_body(hist, count, codes, lengths, *, k: int, w: int, bucket: int
             hist,
         )
     return hist, count + cnt.astype(count.dtype), svals
+
+
+# ---- fused single-sort streaming step --------------------------------------
+#
+# The two-sort pipeline above (per-read dedup sort inside minimizer_scan +
+# flat compaction sort) spends most of its time sorting. The fused step does
+# per-read dedup and compaction with ONE flat sort by packing the read id
+# into the high bits of the sort key: every REPORTED minimizer value is
+# < 2^(2k+8) (proof in ops/minimizer.py), so for 2k+8 + ceil(log2 R) <= 64
+# the key (read_id << (2k+8)) | value sorts reads into contiguous groups and
+# global adjacent-dedup == per-read distinct. An adjacent-run prededup along
+# the position axis (the monotonic queue front repeats while a minimizer
+# stays in-window) shrinks the live lanes ~5x before the sort so the
+# compaction bucket still covers them; it is an optimisation only — the
+# post-sort dedup is authoritative.
+
+
+def fused_bits_ok(k: int, r: int) -> bool:
+    """Can read ids be packed above the value bits in a 64-bit sort key?"""
+    return (2 * k + 8) + max(r - 1, 1).bit_length() <= 64
+
+
+@partial(jax.jit, static_argnames=("vbits", "pallas"), donate_argnums=(0,))
+def bin_scatter_keys(hist, skeys, *, vbits: int, pallas: bool = False):
+    """Bin a compacted slice of sorted (read_id << vbits | value) keys,
+    dedup-adjacent, and scatter-add into the histogram."""
+    nbins = hist.shape[0]
+    live = skeys != _U64SENT
+    neq = jnp.concatenate(
+        [jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]]
+    )
+    mask = live & neq
+    vals = skeys & jnp.uint64((1 << vbits) - 1)
+    keys = jnp.where(mask, vals, jnp.uint64(0))
+    bins = _jump_bins(keys, nbins, pallas)
+    hist = hist.at[bins].add(mask.astype(jnp.int32))
+    return hist
+
+
+def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
+                           bucket: int, pallas: bool = False):
+    """Unjitted body of sketch_stream_step_fused (shard_map reuse)."""
+    R, L = codes.shape
+    vbits = 2 * k + 8
+    wmin, report = minimizer_window(codes, lengths, k=k, w=w)
+    # adjacent-run prededup along positions (optimisation only)
+    prev_same = jnp.concatenate(
+        [jnp.zeros((R, 1), dtype=bool),
+         (wmin[:, 1:] == wmin[:, :-1]) & report[:, :-1]],
+        axis=1,
+    )
+    m = report & ~prev_same
+    rid = jax.lax.broadcasted_iota(jnp.uint64, (R, L), 0)
+    skey = (rid << vbits) | wmin
+    flat = jnp.where(m, skey, _U64SENT).reshape(-1)
+    skeys = jnp.sort(flat)
+
+    # distinct count (the reference's minimizer counter) over full width
+    live = skeys != _U64SENT
+    neq = jnp.concatenate([jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]])
+    cnt = jnp.sum(live & neq)
+    m_live = jnp.sum(m)  # live lanes incl. surviving duplicates
+
+    if bucket >= flat.shape[0]:
+        hist = bin_scatter_keys(hist, skeys, vbits=vbits, pallas=pallas)
+    else:
+        hist = jax.lax.cond(
+            m_live <= bucket,
+            lambda h: bin_scatter_keys(
+                h, jax.lax.slice(skeys, (0,), (bucket,)), vbits=vbits, pallas=pallas
+            ),
+            lambda h: bin_scatter_keys(h, skeys, vbits=vbits, pallas=pallas),
+            hist,
+        )
+    # distinct values for KHF/HMH feeds (idempotent updates; order-free).
+    # KMV needs globally VALUE-sorted input — callers use the two-sort path.
+    vals_flat = jnp.where(
+        live & neq, skeys & jnp.uint64((1 << vbits) - 1), _U64SENT
+    )
+    return hist, count + cnt.astype(count.dtype), vals_flat
+
+
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
+def sketch_stream_step_fused(hist, count, codes, lengths, *, k: int, w: int,
+                             bucket: int, pallas: bool = False):
+    """Single-sort streaming step (see module comment). Bit-equal histogram
+    and count to sketch_stream_step; the returned distinct-value stream is
+    read-grouped rather than value-sorted."""
+    return stream_step_fused_body(
+        hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))

@@ -35,8 +35,8 @@ _U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @partial(jax.jit, static_argnames=("k", "w"))
-def minimizer_scan(codes, lengths, *, k: int, w: int):
-    """Per-read distinct minimizer values.
+def minimizer_window(codes, lengths, *, k: int, w: int):
+    """Window minima + report mask (the pre-dedup minimizer stream).
 
     Args:
       codes: [R, L] integer array of base codes (0-4; >=5 treated as pad).
@@ -44,8 +44,10 @@ def minimizer_scan(codes, lengths, *, k: int, w: int):
       k, w: k-mer and window sizes (static; 0<k<32, 0<w<257).
 
     Returns:
-      values: [R, L] uint64, sorted ascending per read.
-      mask:   [R, L] bool, True for each distinct minimizer value.
+      wmin:   [R, L] uint64 window minimum ending at each position.
+      report: [R, L] bool, True where the reference reports the queue front
+              (valid current k-mer, full window). The distinct-per-read set
+              of reported wmin values is the reference's minimizer set.
     """
     R, L = codes.shape
     c = codes.astype(jnp.uint64)
@@ -92,18 +94,32 @@ def minimizer_scan(codes, lengths, *, k: int, w: int):
         wmin = jnp.minimum(wmin, pxm[:, d : d + L])
 
     report = valid & (pos >= (w - 1))
+    return wmin, report
 
-    # per-read distinct values: sort reported values, keep first of each run.
-    # U64MAX is a safe sentinel for ALL (k, w): the reference only inserts the
-    # queue front at positions where the current k-mer was pushed (the i<k-1
-    # and fwd==rc branches `continue` past the insert, minimizer.go:139-147,
-    # 185-198), and at such a position i >= w-1 the current entry has
-    # span = min(i-w+2, k) in [1, 31], so its low byte != 0xFF and
-    # front <= x_i < U64MAX. The negative-span all-ones values that exist for
-    # k < w (span=-1 at i=w-3 gives x == U64MAX exactly) are only ever pushed,
-    # never reported, because a smaller current entry is always in-window.
-    # (Differentially verified against the literal oracle over k<w,
-    # symmetric-heavy and k=28..31 constructions in tests/test_minimizer.py.)
+
+@partial(jax.jit, static_argnames=("k", "w"))
+def minimizer_scan(codes, lengths, *, k: int, w: int):
+    """Per-read distinct minimizer values.
+
+    Returns:
+      values: [R, L] uint64, sorted ascending per read.
+      mask:   [R, L] bool, True for each distinct minimizer value.
+
+    U64MAX is a safe dead-lane sentinel for ALL (k, w): the reference only
+    inserts the queue front at positions where the current k-mer was pushed
+    (the i<k-1 and fwd==rc branches `continue` past the insert,
+    minimizer.go:139-147, 185-198), and at such a position i >= w-1 the
+    current entry has span = min(i-w+2, k) in [1, 31], so its low byte !=
+    0xFF and front <= x_i < U64MAX. In fact every REPORTED value is
+    < 2^(2k+8): the window includes the current position's entry, which is
+    below that bound. The negative-span all-ones values that exist for k < w
+    (span=-1 at i=w-3 gives x == U64MAX exactly) are only ever pushed, never
+    reported. (Differentially verified against the literal oracle over k<w,
+    symmetric-heavy and k=28..31 constructions in tests/test_minimizer.py.)
+    """
+    R, L = codes.shape
+    wmin, report = minimizer_window(codes, lengths, k=k, w=w)
+    # per-read distinct values: sort reported values, keep first of each run
     vals = jnp.where(report, wmin, _U64MAX)
     svals = jnp.sort(vals, axis=1)
     neq_prev = jnp.concatenate(

@@ -65,11 +65,21 @@ def make_sharded_stream_step(
     Disabled sketches ride through as [D,1] dummies.
     """
     from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
-    from hulk_tpu.ops.device_step import stream_step_body
+    from hulk_tpu.ops.device_step import (
+        fused_bits_ok,
+        stream_step_body,
+        stream_step_fused_body,
+    )
 
     def local_step(hist, count, codes, lengths, kmv, khf, hmh):
         hist, count, kmv, khf, hmh = hist[0], count[0], kmv[0], khf[0], hmh[0]
-        hist, count, svals = stream_step_body(
+        # KMV needs value-sorted input -> two-sort body; otherwise fused
+        body = (
+            stream_step_fused_body
+            if not use_kmv and fused_bits_ok(k, codes.shape[0])
+            else stream_step_body
+        )
+        hist, count, svals = body(
             hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
         )
         if use_kmv:

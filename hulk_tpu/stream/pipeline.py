@@ -101,13 +101,25 @@ class _DeviceStream:
         import jax
 
         from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
-        from hulk_tpu.ops.device_step import sketch_stream_step, stream_bucket
+        from hulk_tpu.ops.device_step import (
+            fused_bits_ok,
+            sketch_stream_step,
+            sketch_stream_step_fused,
+            stream_bucket,
+        )
 
         cfg = self.cfg
         codes = jax.device_put(batch.codes)
         lengths = jax.device_put(batch.lengths)
         r, l = batch.codes.shape
-        self.hist, self.count, svals = sketch_stream_step(
+        # fused single-sort step unless KMV needs value-sorted input or the
+        # read id cannot be packed above the value bits
+        step = (
+            sketch_stream_step_fused
+            if not cfg.kmv and fused_bits_ok(cfg.kmer_size, r)
+            else sketch_stream_step
+        )
+        self.hist, self.count, svals = step(
             self.hist,
             self.count,
             codes,

@@ -153,3 +153,49 @@ def test_device_stream_interval_matches(tables):
     b = dict(r_dev.hulk_data.signatures)["histosketch"]
     assert np.array_equal(a.get_sketch(), b.get_sketch())
     assert np.array_equal(a.sketch_weights, b.sketch_weights)
+
+
+def test_fused_stream_step_matches_two_sort():
+    """The single-sort fused step must produce a bit-identical histogram and
+    minimizer count to the two-sort step, and its distinct-value stream must
+    be the same multiset (read-grouped vs value-sorted order)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hulk_tpu.ops.device_step import (
+        fused_bits_ok,
+        sketch_stream_step,
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+    from hulk_tpu.ops.encode import pack_reads
+
+    rng = np.random.default_rng(21)
+    K, W, NBINS = 11, 9, 11 ** 4
+    assert fused_bits_ok(K, 64)
+    for trial in range(3):
+        seqs = []
+        for _ in range(64):
+            n = int(rng.integers(K + W - 1, 160))
+            frac = [0.0, 0.2, 1.0][trial] if trial else 0.0
+            bases = rng.choice(list(b"ACGTN"), size=n,
+                               p=[(1 - frac) / 4] * 4 + [frac])
+            seqs.append(bytes(bases.tolist()))
+        packed = pack_reads(seqs, pad_to=160, n_reads=64)
+        bucket = stream_bucket(64, 64 * 160)
+        h0 = jnp.zeros(NBINS, dtype=jnp.int32)
+        c0 = jnp.zeros((), dtype=jnp.int64)
+        h1, c1, sv1 = sketch_stream_step(
+            h0, c0, packed.codes, packed.lengths, k=K, w=W, bucket=bucket
+        )
+        h0 = jnp.zeros(NBINS, dtype=jnp.int32)
+        c0 = jnp.zeros((), dtype=jnp.int64)
+        h2, c2, sv2 = sketch_stream_step_fused(
+            h0, c0, packed.codes, packed.lengths, k=K, w=W, bucket=bucket
+        )
+        assert np.array_equal(np.asarray(h1), np.asarray(h2)), trial
+        assert int(c1) == int(c2)
+        U = np.uint64(0xFFFFFFFFFFFFFFFF)
+        a = np.asarray(sv1); a = np.sort(a[a != U])
+        b = np.asarray(sv2); b = np.sort(b[b != U])
+        assert np.array_equal(a, b)
