@@ -181,7 +181,12 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
     """Unjitted body of sketch_stream_step_fused (shard_map reuse)."""
     R, L = codes.shape
     vbits = 2 * k + 8
-    wmin, report = minimizer_window(codes, lengths, k=k, w=w)
+    if pallas:
+        from hulk_tpu.ops.minimizer_pallas import minimizer_window_pallas
+
+        wmin, report = minimizer_window_pallas(codes, lengths, k=k, w=w)
+    else:
+        wmin, report = minimizer_window(codes, lengths, k=k, w=w)
     # adjacent-run prededup along positions (optimisation only)
     prev_same = jnp.concatenate(
         [jnp.zeros((R, 1), dtype=bool),

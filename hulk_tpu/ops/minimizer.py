@@ -87,11 +87,27 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     x = (hashed << 8) | span_u
     xm = jnp.where(valid, x, _U64MAX)
 
-    # sliding-window minimum over the trailing w positions
+    # sliding-window minimum over the trailing w positions, via prefix
+    # doubling (log2(w) mins instead of w-1; min is associative so blocks
+    # covering 2^j trailing positions compose exactly)
     pxm = jnp.concatenate([jnp.full((R, w - 1), _U64MAX, dtype=jnp.uint64), xm], axis=1)
-    wmin = pxm[:, 0:L]
-    for d in range(1, w):
-        wmin = jnp.minimum(wmin, pxm[:, d : d + L])
+
+    blk = pxm  # covers 1 trailing position
+    blk_len = 1
+    acc = None
+    rem = w
+    while True:
+        if rem & 1:
+            if acc is None:
+                acc = blk
+            else:
+                acc = jnp.minimum(blk[:, : acc.shape[1] - blk_len], acc[:, blk_len:])
+        rem >>= 1
+        if rem == 0:
+            break
+        blk = jnp.minimum(blk[:, blk_len:], blk[:, : blk.shape[1] - blk_len])
+        blk_len *= 2
+    wmin = acc  # covers w -> exactly L columns
 
     report = valid & (pos >= (w - 1))
     return wmin, report
