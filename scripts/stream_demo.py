@@ -1,8 +1,9 @@
 """BASELINE config 4 demo: streaming sketch with interval flushes + concept
 drift over a 10M-read mock microbiome, single host + one chip.
 
-Streams synthetic 150bp reads through the device path with interval=1M and
-decayRatio=0.9, printing per-interval throughput. Usage:
+Drives the PRODUCTION pipeline machinery (the fused sync-free device stream
++ background-overlapped exact host flush — the same code `hulk sketch` runs)
+with interval=1M and decayRatio=0.9, printing per-interval throughput.
 
     python scripts/stream_demo.py [n_reads] [interval]
 """
@@ -13,15 +14,17 @@ import numpy as np
 
 
 def main(n_reads=10_000_000, interval=1_000_000):
+    from concurrent.futures import ThreadPoolExecutor
+
     import jax
     import jax.numpy as jnp
 
     import hulk_tpu._jax_config  # noqa: F401
     from hulk_tpu.hashes.cws import get_cws_tables
     from hulk_tpu.ops.device_step import (
-        bin_scatter_slice,
-        live_bucket,
-        minimizer_sorted_flat,
+        pallas_supported,
+        sketch_stream_step_fused,
+        stream_bucket,
     )
     from hulk_tpu.sketch.histosketch import HistoSketch
     from hulk_tpu.sketch.spectrum import KmerSpectrum
@@ -30,8 +33,10 @@ def main(n_reads=10_000_000, interval=1_000_000):
     NBINS = K ** 4
     R, L, READ_LEN = 8192, 160, 150
     DECAY = 0.9
+    PALLAS = pallas_supported()
+    BUCKET = stream_bucket(R, R * L)
 
-    print(f"backend={jax.default_backend()} reads={n_reads} interval={interval} decay={DECAY}")
+    print(f"backend={jax.default_backend()} reads={n_reads} interval={interval} decay={DECAY} pallas={PALLAS}")
     tables = get_cws_tables(S, NBINS)
     hs = HistoSketch(K, S, NBINS, DECAY, tables=tables)
     spectrum = KmerSpectrum(NBINS)
@@ -42,37 +47,60 @@ def main(n_reads=10_000_000, interval=1_000_000):
     lengths = np.full(R, READ_LEN, dtype=np.int32)
     dc, dl = jax.device_put(codes), jax.device_put(lengths)
 
+    def step(hist, count):
+        hist, count, _ = sketch_stream_step_fused(
+            hist, count, dc, dl, k=K, w=W, bucket=BUCKET, pallas=PALLAS
+        )
+        return hist, count
+
     hist = jnp.zeros(NBINS, dtype=jnp.int32)
-    # warmup/compile
-    sv, cnt = minimizer_sorted_flat(dc, dl, k=K, w=W)
-    hist = bin_scatter_slice(hist, sv[: live_bucket(int(cnt), R * L, R)])
-    jax.block_until_ready(hist)
+    count = jnp.zeros((), dtype=jnp.int64)
+    hist, count = step(hist, count)
+    jax.block_until_ready(hist)  # compile
     hist = jnp.zeros(NBINS, dtype=jnp.int32)
+    count = jnp.zeros((), dtype=jnp.int64)
+    # flush warmup (native build + buffer pools)
+    warm = HistoSketch(K, S, NBINS, DECAY, tables=tables)
+    warm.add_elements(np.arange(2500, dtype=np.int64), np.ones(2500))
+
+    pool = ThreadPoolExecutor(1)
+    pending = None
+
+    def flush(hb):
+        ids = np.nonzero(hb)[0].astype(np.int64)
+        t0 = time.perf_counter()
+        hs.add_elements(ids, hb[ids])
+        return time.perf_counter() - t0, ids.shape[0]
 
     t0 = time.perf_counter()
     done = 0
     next_flush = interval
     t_int = time.perf_counter()
+    flush_wait = 0.0
     while done < n_reads:
-        sv, cnt = minimizer_sorted_flat(dc, dl, k=K, w=W)
-        hist = bin_scatter_slice(hist, sv[: live_bucket(int(cnt), R * L, R)])
+        hist, count = step(hist, count)
         done += R
         if done >= next_flush or done >= n_reads:
-            jax.block_until_ready(hist)
-            hb = np.asarray(hist).astype(np.float64)
-            ids = np.nonzero(hb)[0].astype(np.int64)
-            tf = time.perf_counter()
-            hs.add_elements(ids, hb[ids])
+            hb = np.asarray(hist).astype(np.float64)  # device sync
             hist = jnp.zeros(NBINS, dtype=jnp.int32)
+            tw = time.perf_counter()
+            if pending is not None:
+                tf, nb = pending.result()  # prior flush must finish first
+            flush_wait += time.perf_counter() - tw
+            pending = pool.submit(flush, hb)
             now = time.perf_counter()
             print(
                 f"  interval @{done:>9d}: {interval/(now-t_int):,.0f} reads/s "
-                f"(flush {now-tf:.2f}s, {ids.shape[0]} bins)"
+                f"(flush overlapped; waited {time.perf_counter()-tw:.2f}s)"
             )
             t_int = now
             next_flush += interval
+    tf, nb = pending.result()
     total = time.perf_counter() - t0
-    print(f"TOTAL: {done} reads in {total:.1f}s = {done/total:,.0f} reads/s")
+    print(
+        f"TOTAL: {done} reads in {total:.1f}s = {done/total:,.0f} reads/s "
+        f"(drift flushes: last {tf:.2f}s/{nb} bins; total flush wait {flush_wait:.2f}s)"
+    )
     print(f"sketch mins[:6]: {hs.get_sketch()[:6].tolist()}")
 
 
