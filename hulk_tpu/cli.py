@@ -441,8 +441,12 @@ def run_index(args) -> None:
             else:
                 forest = LSHForest.load_json(args.indexName)
                 entries = load_mins()
-            for name, mins in entries:
-                forest.add(name, mins)
+            import numpy as np
+
+            forest.add_batch(
+                [name for name, _ in entries],
+                np.stack([m for _, m in entries]),
+            )
             forest.write_json(args.indexName)
             log.info(
                 "\tindexed %d sketches (bands=%d rows=%d) -> %s",

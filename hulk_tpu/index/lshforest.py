@@ -11,15 +11,20 @@ banded-LSH construction used by the original HULK paper's indexing scheme:
   * (b, r) are chosen from the Jaccard threshold t so the S-curve
     midpoint (1/b)^(1/r) sits at t.
   * candidate ranking uses the positional-match Jaccard estimate on the full
-    sketch (the same estimator smash uses), on device in blocks when the
-    candidate set is large (ops/distance.py).
+    sketch (the same estimator smash uses); per-query candidate sets rank
+    vectorised on host, and whole-corpus ranking can run on the blocked
+    device kernel (ops/distance.py / parallel/lsh.py).
 
-The index serialises to a self-describing JSON envelope ("hulk_index") with
-the same version pinning conventions as sketches.
+Construction and banding are fully vectorised (one 64-bit polynomial band
+hash over [N, b, r], buckets grouped with one argsort per band), so builds
+scale to corpora far beyond what per-sketch Python hashing allowed. The
+index serialises to a self-describing JSON envelope ("hulk_index", version
+pinned); mins are packed little-endian base64 (the round-1 nested-int-list
+form is still accepted on load).
 """
 from __future__ import annotations
 
-import hashlib
+import base64
 import json
 import os
 from dataclasses import dataclass, field
@@ -49,8 +54,24 @@ def choose_bands(sketch_size: int, jaccard_thresh: float) -> tuple[int, int]:
     return best
 
 
-def _band_key(vals: np.ndarray) -> str:
-    return hashlib.blake2b(vals.astype("<u8").tobytes(), digest_size=8).hexdigest()
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def band_keys(mins: np.ndarray, b: int, r: int) -> np.ndarray:
+    """[N, s] sketch mins -> [N, b] u64 band keys (vectorised polynomial of
+    mixed row values; one pass over the corpus instead of per-sketch
+    hashing)."""
+    x = np.ascontiguousarray(mins[:, : b * r]).reshape(-1, b, r).astype(np.uint64)
+    acc = np.full(x.shape[:2], np.uint64(r), dtype=np.uint64)
+    P = np.uint64(0x9E3779B97F4A7C15)
+    with np.errstate(over="ignore"):
+        for j in range(r):
+            acc = acc * P + _mix64(x[:, :, j] + np.uint64(j + 1))
+    return _mix64(acc)
 
 
 @dataclass
@@ -62,7 +83,7 @@ class LSHForest:
     band_rows: int = 0
     names: list = field(default_factory=list)
     mins: np.ndarray | None = None  # [N, s] uint64
-    buckets: list = field(default_factory=list)  # per band: {key: [idx]}
+    buckets: list = field(default_factory=list)  # per band: {key: np.ndarray}
 
     def __post_init__(self):
         if self.n_bands == 0:
@@ -87,27 +108,53 @@ class LSHForest:
         return self.mins
 
     def add(self, name: str, sketch_mins: np.ndarray) -> None:
-        if sketch_mins.shape[0] != self.sketch_size:
+        self.add_batch([name], np.asarray(sketch_mins, dtype=np.uint64)[None, :])
+
+    def add_batch(self, names: list, mins: np.ndarray) -> None:
+        """Vectorised bulk insert: band keys for the whole batch in one pass,
+        buckets extended via one argsort per band."""
+        mins = np.asarray(mins, dtype=np.uint64)
+        if mins.ndim != 2 or mins.shape[1] != self.sketch_size:
             raise LSHIndexError(
-                f"sketch length mismatch: {sketch_mins.shape[0]} vs {self.sketch_size}"
+                f"sketch length mismatch: {mins.shape[-1]} vs {self.sketch_size}"
             )
-        idx = len(self.names)
-        self.names.append(name)
-        self._pending.append(sketch_mins.astype(np.uint64)[None, :])
-        r = self.band_rows
+        if len(names) != mins.shape[0]:
+            raise LSHIndexError("names/mins length mismatch")
+        base = len(self.names)
+        self.names.extend(names)
+        self._pending.append(mins)
+        keys = band_keys(mins, self.n_bands, self.band_rows)  # [N, b]
+        idx = np.arange(base, base + mins.shape[0], dtype=np.int64)
         for bi in range(self.n_bands):
-            key = _band_key(sketch_mins[bi * r : (bi + 1) * r])
-            self.buckets[bi].setdefault(key, []).append(idx)
+            kb = keys[:, bi]
+            order = np.argsort(kb, kind="stable")
+            ks = kb[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], ks[1:] != ks[:-1]])
+            )
+            bounds = np.concatenate([starts, [ks.shape[0]]])
+            bucket = self.buckets[bi]
+            for a, z in zip(bounds[:-1], bounds[1:]):
+                key = int(ks[a])
+                ids = idx[order[a:z]]
+                prev = bucket.get(key)
+                bucket[key] = ids if prev is None else np.concatenate([prev, ids])
 
     # ---- query -----------------------------------------------------------
 
     def candidates(self, query_mins: np.ndarray) -> np.ndarray:
-        r = self.band_rows
-        cand: set = set()
-        for bi in range(self.n_bands):
-            key = _band_key(query_mins[bi * r : (bi + 1) * r])
-            cand.update(self.buckets[bi].get(key, ()))
-        return np.array(sorted(cand), dtype=np.int64)
+        keys = band_keys(
+            np.asarray(query_mins, dtype=np.uint64)[None, :],
+            self.n_bands, self.band_rows,
+        )[0]
+        parts = [
+            self.buckets[bi].get(int(keys[bi]))
+            for bi in range(self.n_bands)
+        ]
+        parts = [p for p in parts if p is not None]
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(parts))
 
     def search(self, query_mins: np.ndarray, thresh: float | None = None):
         """-> list of (name, similarity) with sim >= thresh, best first."""
@@ -115,38 +162,25 @@ class LSHForest:
         cand = self.candidates(query_mins)
         if cand.size == 0:
             return []
-        sims = (self.mins_matrix[cand] == query_mins[None, :]).mean(axis=1)
+        sims = (self.mins_matrix[cand] == np.asarray(query_mins)[None, :]).mean(axis=1)
         keep = sims >= t
         order = np.argsort(-sims[keep])
         kept = cand[keep][order]
         return [(self.names[i], float(s)) for i, s in zip(kept, sims[keep][order])]
 
-    def search_batch_device(self, query_mins: np.ndarray, thresh: float | None = None):
-        """Rank many queries at once with the blocked device kernel; LSH
-        candidate prefiltering still prunes per query."""
-        from hulk_tpu.ops.distance import pairwise_jaccard_sim
-        import jax.numpy as jnp
+    def search_batch(self, query_mins: np.ndarray, thresh: float | None = None):
+        """Per-query LSH prefilter + vectorised candidate ranking (host).
+        For whole-corpus, no-prefilter ranking at scale, use the blocked
+        device kernel via parallel/lsh.py."""
+        return [self.search(query_mins[i], thresh) for i in range(query_mins.shape[0])]
 
-        t = self.jaccard_thresh if thresh is None else thresh
-        q = query_mins.shape[0]
-        all_mins = jnp.asarray(
-            np.vstack([self.mins_matrix, query_mins.astype(np.uint64)]).astype(np.int64)
-        )
-        sim = np.asarray(pairwise_jaccard_sim(all_mins))
-        n = len(self.names)
-        out = []
-        for qi in range(q):
-            cand = self.candidates(query_mins[qi])
-            sims = sim[n + qi, cand] if cand.size else np.empty(0)
-            keep = sims >= t
-            order = np.argsort(-sims[keep])
-            kept = cand[keep][order]
-            out.append([(self.names[i], float(s)) for i, s in zip(kept, sims[keep][order])])
-        return out
+    # kept as an alias for round-1 callers
+    search_batch_device = search_batch
 
     # ---- serialisation ---------------------------------------------------
 
     def write_json(self, path: str) -> None:
+        m = self.mins_matrix
         doc = {
             "class": "hulk_index",
             "version": HULK_COMPAT_VERSION,
@@ -156,7 +190,9 @@ class LSHForest:
             "n_bands": self.n_bands,
             "band_rows": self.band_rows,
             "names": self.names,
-            "mins": [[int(v) for v in row] for row in self.mins_matrix],
+            "mins_b64": base64.b64encode(
+                np.ascontiguousarray(m.astype("<u8")).tobytes()
+            ).decode("ascii"),
         }
         with open(path, "w") as fh:
             json.dump(doc, fh)
@@ -180,6 +216,15 @@ class LSHForest:
             n_bands=doc["n_bands"],
             band_rows=doc["band_rows"],
         )
-        for name, row in zip(doc["names"], doc["mins"]):
-            forest.add(name, np.array(row, dtype=np.uint64))
+        if "mins_b64" in doc:
+            raw = base64.b64decode(doc["mins_b64"])
+            mins = np.frombuffer(raw, dtype="<u8").reshape(
+                len(doc["names"]), doc["sketch_size"]
+            ).astype(np.uint64)
+        else:  # round-1 nested-int-list form
+            mins = np.array(doc["mins"], dtype=np.uint64).reshape(
+                len(doc["names"]), doc["sketch_size"]
+            )
+        if len(doc["names"]):
+            forest.add_batch(doc["names"], mins)
         return forest

@@ -25,33 +25,25 @@ import jax.numpy as jnp
 import hulk_tpu._jax_config  # noqa: F401
 
 
+import numpy as np
+
+
 def _pad_rows(x, block):
     n = x.shape[0]
     nblocks = -(-n // block)
     pad = nblocks * block - n
-    return jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)), nblocks
+    return np.pad(np.asarray(x), ((0, pad),) + ((0, 0),) * (x.ndim - 1)), nblocks
 
 
-@partial(jax.jit, static_argnames=("block",))
-def pairwise_jaccard_sim(mins, *, block: int = 512):
-    """[N, s] sketch mins -> [N, N] positional-match similarity (fraction).
-    Match counts are small integers, so i32 accumulation + one f64 divide is
-    exact."""
-    n, s = mins.shape
-    mins_p, nblocks = _pad_rows(mins, block)
-
-    rows = []
-    for i in range(nblocks):
-        a = jax.lax.dynamic_slice_in_dim(mins_p, i * block, block, 0)  # [B, s]
-        eq = (a[:, None, :] == mins[None, :, :]).astype(jnp.int32)
-        rows.append(eq.sum(-1).astype(jnp.float64) / s)  # [B, N]
-    return jnp.concatenate(rows, axis=0)[:n, :]
+@partial(jax.jit, static_argnames=())
+def _jaccard_block(a, b):
+    """[B, s] x [C, s] -> [B, C] match counts (exact i32)."""
+    return (a[:, None, :] == b[None, :, :]).astype(jnp.int32).sum(-1)
 
 
-@partial(jax.jit, static_argnames=("block",))
-def pairwise_weighted_jaccard_dist(mins, weights, *, block: int = 512):
-    """[N, s] mins + weights -> [N, N] weighted Jaccard distance with the
-    reference's subject-weights semantics (row = subject).
+@partial(jax.jit, static_argnames=())
+def _wjd_block(a, wa, ws, b):
+    """[B, s] mins + |weights| + row sums x [C, s] mins -> [B, C] distances.
 
     The intersection sum accumulates in f64 via a lax.scan over slots —
     elementwise masked adds, NOT an einsum: XLA's f64 dot lowering on TPU
@@ -62,28 +54,59 @@ def pairwise_weighted_jaccard_dist(mins, weights, *, block: int = 512):
     (cli._smash_matrix_device), making the printed matrix provably
     reference-CSV-exact.
     """
+    eq = a[:, None, :] == b[None, :, :]  # [B, C, s] bool
+
+    def body(acc, xs):
+        eq_j, w_j = xs  # [B, C], [B]
+        return acc + jnp.where(eq_j, w_j[:, None], 0.0), None
+
+    acc0 = jnp.zeros(eq.shape[:2], dtype=jnp.float64)
+    inter, _ = jax.lax.scan(body, acc0, (jnp.moveaxis(eq, 2, 0), wa.T))
+    return 1.0 - inter / jnp.maximum(ws[:, None], 1e-300)
+
+
+def pairwise_jaccard_sim(mins, *, block: int = 512, col_block: int = 4096):
+    """[N, s] sketch mins -> [N, N] positional-match similarity (fraction).
+    Match counts are small integers, so i32 accumulation + one f64 divide is
+    exact. Blocked in both dimensions: device memory stays at
+    block*col_block*s regardless of N."""
+    mins = np.asarray(mins)
     n, s = mins.shape
-    wabs = jnp.abs(weights)
-    wsum = jnp.maximum(wabs.sum(-1), 1e-300)
+    mp, nb = _pad_rows(mins, block)
+    mc, nc = _pad_rows(mins, col_block)
+    out = np.empty((nb * block, n), dtype=np.float64)
+    for i in range(nb):
+        a = mp[i * block : (i + 1) * block]
+        for j in range(nc):
+            b = mc[j * col_block : (j + 1) * col_block]
+            cnt = np.asarray(_jaccard_block(a, b))
+            lo, hi = j * col_block, min((j + 1) * col_block, n)
+            out[i * block : (i + 1) * block, lo:hi] = cnt[:, : hi - lo] / s
+    return out[:n]
 
-    mins_p, nblocks = _pad_rows(mins, block)
-    wabs_p, _ = _pad_rows(wabs, block)
-    wsum_p, _ = _pad_rows(wsum[:, None], block)
 
-    rows = []
-    for i in range(nblocks):
-        a = jax.lax.dynamic_slice_in_dim(mins_p, i * block, block, 0)
-        wa = jax.lax.dynamic_slice_in_dim(wabs_p, i * block, block, 0)
-        ws = jax.lax.dynamic_slice_in_dim(wsum_p, i * block, block, 0)[:, 0]
-        eq = a[:, None, :] == mins[None, :, :]  # [B, N, s] bool
-
-        def body(acc, xs):
-            eq_j, w_j = xs  # [B, N], [B]
-            return acc + jnp.where(eq_j, w_j[:, None], 0.0), None
-
-        acc0 = jnp.zeros(eq.shape[:2], dtype=jnp.float64)
-        inter, _ = jax.lax.scan(
-            body, acc0, (jnp.moveaxis(eq, 2, 0), wa.T)
-        )
-        rows.append(1.0 - inter / jnp.maximum(ws[:, None], 1e-300))
-    return jnp.concatenate(rows, axis=0)[:n, :]
+def pairwise_weighted_jaccard_dist(mins, weights, *, block: int = 512,
+                                   col_block: int = 4096):
+    """[N, s] mins + weights -> [N, N] weighted Jaccard distance with the
+    reference's subject-weights semantics (row = subject). See _wjd_block
+    for numerics; blocked in both dimensions for unbounded N."""
+    mins = np.asarray(mins)
+    weights = np.asarray(weights)
+    n, s = mins.shape
+    wabs = np.abs(weights)
+    wsum = np.maximum(wabs.sum(-1), 1e-300)
+    mp, nb = _pad_rows(mins, block)
+    wp, _ = _pad_rows(wabs, block)
+    sp, _ = _pad_rows(wsum[:, None], block)
+    mc, nc = _pad_rows(mins, col_block)
+    out = np.empty((nb * block, n), dtype=np.float64)
+    for i in range(nb):
+        a = mp[i * block : (i + 1) * block]
+        wa = wp[i * block : (i + 1) * block]
+        ws = sp[i * block : (i + 1) * block, 0]
+        for j in range(nc):
+            b = mc[j * col_block : (j + 1) * col_block]
+            d = np.asarray(_wjd_block(a, wa, ws, b))
+            lo, hi = j * col_block, min((j + 1) * col_block, n)
+            out[i * block : (i + 1) * block, lo:hi] = d[:, : hi - lo]
+    return out[:n]

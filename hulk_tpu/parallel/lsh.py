@@ -19,22 +19,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 import hulk_tpu._jax_config  # noqa: F401
 
 
+_CHUNK = 4096  # rows ranked per step: bounds the [Q, C, s] intermediate
+
+
 def shard_index_mins(mesh: Mesh, mins: np.ndarray):
-    """Place [N, s] index rows sharded over dp (pad N to the shard count)."""
+    """Place [N, s] index rows sharded over dp. N pads to dp*_CHUNK so every
+    shard is a whole number of ranking chunks and global row order is
+    preserved (padding sits only at the global tail)."""
     n_dp = mesh.shape["dp"]
     n = mins.shape[0]
-    pad = (-n) % n_dp
+    pad = (-n) % (n_dp * _CHUNK)
     padded = np.vstack([mins, np.zeros((pad, mins.shape[1]), dtype=mins.dtype)])
     sh = NamedSharding(mesh, P("dp", None))
     return jax.device_put(padded.astype(np.int64), sh), n
 
 
+_rank_cache: dict = {}
+
+
 def sharded_similarity(mesh: Mesh):
-    """Build a jitted [Q, s] x sharded [N, s] -> [Q, N] similarity matmul."""
+    """Build a jitted [Q, s] x sharded [N, s] -> [Q, N] similarity matmul.
+    Cached per mesh so repeated searches reuse the compiled executable."""
+    key = (tuple(map(id, mesh.devices.flat)), mesh.axis_names)
+    if key in _rank_cache:
+        return _rank_cache[key]
 
     def local_rank(queries, index_rows):
-        eq = (queries[:, None, :] == index_rows[None, :, :]).astype(jnp.float64)
-        return eq.mean(-1)  # [Q, N_shard]
+        # i32 match counts + one f64 divide: exact, and ~100x faster on TPU
+        # than f64 accumulation (no f64 hardware). Chunked with lax.map so
+        # the [Q, C, s] intermediate stays ~MBs however large the shard is.
+        nloc, s = index_rows.shape
+        chunks = index_rows.reshape(nloc // _CHUNK, _CHUNK, s)
+
+        def one(rows):
+            eq = (queries[:, None, :] == rows[None, :, :]).astype(jnp.int32)
+            return eq.sum(-1)  # [Q, C]
+
+        counts = jax.lax.map(one, chunks)  # [m, Q, C]
+        counts = jnp.moveaxis(counts, 0, 1).reshape(queries.shape[0], nloc)
+        return counts.astype(jnp.float64) / queries.shape[-1]  # [Q, N_shard]
 
     fn = jax.jit(
         jax.shard_map(
@@ -44,6 +67,7 @@ def sharded_similarity(mesh: Mesh):
             out_specs=P(None, "dp"),
         )
     )
+    _rank_cache[key] = fn
     return fn
 
 

@@ -30,8 +30,7 @@ def main(n=100_000, nq=64):
     t0 = time.perf_counter()
     forest = LSHForest(kmer_size=21, sketch_size=S, jaccard_thresh=0.9)
     mins = rng.integers(0, 2**40, (n, S), dtype=np.uint64)
-    for i in range(n):
-        forest.add(f"s{i}", mins[i])
+    forest.add_batch([f"s{i}" for i in range(n)], mins)
     print(f"index build: {time.perf_counter()-t0:.1f}s "
           f"(bands={forest.n_bands} rows={forest.band_rows})")
 
@@ -43,6 +42,7 @@ def main(n=100_000, nq=64):
         queries[qi, ch] = rng.integers(0, 2**40, 2, dtype=np.uint64)
 
     mesh = make_sketch_mesh(n_dp=len(jax.devices()), n_mp=1)
+    sharded_lsh_search(mesh, forest, queries[:4], thresh=0.9)  # compile warmup
     t0 = time.perf_counter()
     results = sharded_lsh_search(mesh, forest, queries, thresh=0.9)
     t_search = time.perf_counter() - t0

@@ -119,3 +119,39 @@ def test_sharded_search_matches_scalar():
         assert [(n, round(s, 12)) for n, s in sharded[qi]] == [
             (n, round(s, 12)) for n, s in scalar
         ]
+
+
+def test_add_batch_matches_sequential_and_b64_roundtrip(tmp_path):
+    from hulk_tpu.index.lshforest import LSHForest
+
+    rng = np.random.default_rng(8)
+    S, N = 16, 300
+    mins = rng.integers(0, 2**40, (N, S), dtype=np.uint64)
+    fa = LSHForest(kmer_size=11, sketch_size=S, jaccard_thresh=0.8)
+    for i in range(N):
+        fa.add(f"s{i}", mins[i])
+    fb = LSHForest(kmer_size=11, sketch_size=S, jaccard_thresh=0.8)
+    fb.add_batch([f"s{i}" for i in range(N)], mins)
+    q = mins[17].copy()
+    q[3] = 12345
+    assert np.array_equal(fa.candidates(q), fb.candidates(q))
+    assert fa.search(q) == fb.search(q)
+
+    # base64 serialisation roundtrip preserves everything
+    p = tmp_path / "idx.json"
+    fb.write_json(str(p))
+    fc = LSHForest.load_json(str(p))
+    assert fc.names == fb.names
+    assert np.array_equal(fc.mins_matrix, fb.mins_matrix)
+    assert fc.search(q) == fb.search(q)
+
+    # round-1 nested-int-list format still loads
+    import json
+
+    doc = json.load(open(p))
+    doc.pop("mins_b64")
+    doc["mins"] = [[int(v) for v in row] for row in mins]
+    p2 = tmp_path / "idx_legacy.json"
+    json.dump(doc, open(p2, "w"))
+    fd = LSHForest.load_json(str(p2))
+    assert fd.search(q) == fb.search(q)
