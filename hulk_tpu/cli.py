@@ -69,6 +69,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
     ps.add_argument("--hmh", "--hyperminhash", dest="hmh", action="store_true", help="also generate a HyperMinHash sketch (extension)")
+    ps.add_argument("--checkpoint", type=str, default="", help="write a resumable state snapshot after every interval flush (extension; requires -i)")
+    ps.add_argument("--resume", type=str, default="", help="resume a sketch run from a --checkpoint snapshot (extension)")
 
     pm = sub.add_parser("smash", help="Smash a bunch of sketches and return a distance matrix")
     _add_global_flags(pm)
@@ -169,6 +171,8 @@ def run_sketch(args) -> None:
         hmh=args.hmh,
         banner_label=args.bannerLabel,
         file_name=(",".join(fastq) + ",") if fastq else "STDIN",
+        checkpoint_path=args.checkpoint or None,
+        resume_from=args.resume or None,
     )
 
     # multi-host: each process takes a static file shard; partial states are

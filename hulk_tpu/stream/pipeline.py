@@ -50,6 +50,8 @@ class SketchConfig:
     device_stream: bool | None = None  # None -> auto (on when backend != cpu)
     data_parallel: bool | None = None  # None -> auto (shard when >1 device)
     input_paths: list | None = None  # set -> native C++ parser feeds batches
+    checkpoint_path: str | None = None  # write a snapshot after each interval
+    resume_from: str | None = None  # restore a snapshot and skip its reads
 
     def resolved_spectrum_size(self) -> int:
         return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
@@ -152,13 +154,85 @@ class _DeviceStream:
             self.hist = jnp.zeros(self.nbins, dtype=jnp.int32)
 
     def collect(self, kmv, khf, hmh) -> None:
+        """MERGE device states into the host objects (merge, not overwrite,
+        so resumed-from-checkpoint host state survives: bottom-k union /
+        elementwise min / register max are the sketches' exact merges)."""
         if kmv is not None and self.kmv_state is not None:
             vals = np.asarray(self.kmv_state)
-            kmv._values = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
+            vals = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
+            merged = np.sort(np.concatenate([kmv._values, vals]))
+            kmv._values = merged[: self.cfg.sketch_size]
         if khf is not None and self.khf_state is not None:
-            khf.sketch = np.asarray(self.khf_state).copy()
+            khf.sketch = np.minimum(khf.sketch, np.asarray(self.khf_state))
         if hmh is not None and self.hmh_regs is not None:
-            hmh.registers = np.asarray(self.hmh_regs).copy()
+            hmh.registers = np.maximum(hmh.registers, np.asarray(self.hmh_regs))
+
+
+def _save_checkpoint(path, *, seq_count, length_total, minimizer_count, hs,
+                     kmv, khf, hmh, cfg):
+    """Atomic snapshot of all persistent stream state at an interval
+    boundary (the spectrum is empty there — flush just wiped it). The sketch
+    JSON itself is the reference's only checkpoint (SURVEY.md §5); this is
+    the beyond-reference device-state snapshot for long streams."""
+    import os
+
+    payload = dict(
+        magic="hulk_checkpoint_v1",
+        kmer_size=cfg.kmer_size, window_size=cfg.window_size,
+        sketch_size=cfg.sketch_size, spectrum_size=cfg.resolved_spectrum_size(),
+        decay_ratio=cfg.decay_ratio, interval=cfg.interval,
+        seq_count=seq_count, length_total=length_total,
+        minimizer_count=minimizer_count,
+        hs_sketch=hs.sketch, hs_weights=hs.sketch_weights, cms=hs.cms.sketch,
+    )
+    if kmv is not None:
+        payload["kmv_values"] = kmv._values
+    if khf is not None:
+        payload["khf_sketch"] = khf.sketch
+    if hmh is not None:
+        payload["hmh_registers"] = hmh.registers
+    tmp = f"{path}.tmp{os.getpid()}"
+    np.savez(tmp, **payload)
+    os.replace(tmp + ".npz", path)
+
+
+def _load_checkpoint(path, cfg, hs, kmv, khf, hmh):
+    """Restore a snapshot; returns (seq_count, length_total, minimizer_count).
+    Raises PipelineError on any parameter mismatch."""
+    import os
+
+    if not os.path.exists(path):
+        raise PipelineError(f"checkpoint does not exist: {path}")
+    z = np.load(path, allow_pickle=False)
+    if str(z["magic"]) != "hulk_checkpoint_v1":
+        raise PipelineError(f"not a hulk checkpoint: {path}")
+    for key, want in (
+        ("kmer_size", cfg.kmer_size), ("window_size", cfg.window_size),
+        ("sketch_size", cfg.sketch_size),
+        ("spectrum_size", cfg.resolved_spectrum_size()),
+        ("decay_ratio", cfg.decay_ratio), ("interval", cfg.interval),
+    ):
+        got = z[key].item()
+        if got != want:
+            raise PipelineError(
+                f"checkpoint parameter mismatch: {key}={got} vs {want}"
+            )
+    hs.sketch = z["hs_sketch"].copy()
+    hs.sketch_weights = z["hs_weights"].copy()
+    hs.cms.sketch = z["cms"].copy()
+    if kmv is not None:
+        if "kmv_values" not in z:
+            raise PipelineError("checkpoint has no KMV state")
+        kmv._values = z["kmv_values"].copy()
+    if khf is not None:
+        if "khf_sketch" not in z:
+            raise PipelineError("checkpoint has no KHF state")
+        khf.sketch = z["khf_sketch"].copy()
+    if hmh is not None:
+        if "hmh_registers" not in z:
+            raise PipelineError("checkpoint has no HyperMinHash state")
+        hmh.registers = z["hmh_registers"].copy()
+    return int(z["seq_count"]), int(z["length_total"]), int(z["minimizer_count"])
 
 
 class _ShardedDeviceStream:
@@ -260,15 +334,24 @@ class _ShardedDeviceStream:
             )
 
     def collect(self, kmv, khf, hmh) -> None:
+        """Merge per-shard device states into the host objects (exact:
+        bottom-k union / elementwise min / register max — also preserves
+        resumed-from-checkpoint host state)."""
         sent = np.uint64(0xFFFFFFFFFFFFFFFF)
         if kmv is not None:
-            vals = np.sort(np.asarray(self.kmv_state).reshape(-1))
+            vals = np.sort(
+                np.concatenate(
+                    [kmv._values, np.asarray(self.kmv_state).reshape(-1)]
+                )
+            )
             vals = vals[vals != sent]
             kmv._values = vals[: self.cfg.sketch_size]
         if khf is not None:
-            khf.sketch = np.asarray(self.khf_state).min(axis=0)
+            khf.sketch = np.minimum(khf.sketch, np.asarray(self.khf_state).min(axis=0))
         if hmh is not None:
-            hmh.registers = np.asarray(self.hmh_regs).max(axis=0)
+            hmh.registers = np.maximum(
+                hmh.registers, np.asarray(self.hmh_regs).max(axis=0)
+            )
 
 
 def run_sketch_pipeline(
@@ -295,7 +378,16 @@ def run_sketch_pipeline(
     seq_count = 0
     length_total = 0
     minimizer_count = 0
-    next_report = 100_000
+    resume_base = 0
+    if cfg.resume_from:
+        if not cfg.interval:
+            raise PipelineError("resume requires interval mode (snapshots are taken at interval flushes)")
+        seq_count, length_total, minimizer_count = _load_checkpoint(
+            cfg.resume_from, cfg, hs, kmv, khf, hmh
+        )
+        resume_base = seq_count
+        log.info("\tresumed from checkpoint at %d sequences", seq_count)
+    next_report = (seq_count // 100_000 + 1) * 100_000
 
     def flush():
         # boss.go:112-128: flush is a no-op on an untouched spectrum;
@@ -305,12 +397,21 @@ def run_sketch_pipeline(
             hs.add_elements(bins, freqs)
             spectrum.wipe()
 
-    def interval_flush():
+    def interval_flush(counters=None, snap_states=None):
         flush()
         if on_interval is not None:
             snap = HULKData(filename=cfg.file_name, banner=cfg.banner_label)
             snap.add(hs)
             on_interval(snap)
+        if cfg.checkpoint_path and counters is not None:
+            sc, lt, mc = counters
+            skmv, skhf, shmh = (
+                snap_states if snap_states is not None else (kmv, khf, hmh)
+            )
+            _save_checkpoint(
+                cfg.checkpoint_path, seq_count=sc, length_total=lt,
+                minimizer_count=mc, hs=hs, kmv=skmv, khf=skhf, hmh=shmh, cfg=cfg,
+            )
 
     import jax
 
@@ -346,6 +447,21 @@ def run_sketch_pipeline(
         )
     else:
         batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)
+
+    if resume_base:
+        def _skip_resumed(src, skip):
+            done = 0
+            for b in src:
+                if done < skip:
+                    done += int((b.lengths > 0).sum())
+                    if done > skip:
+                        raise PipelineError(
+                            "resume point does not align with batch cuts"
+                        )
+                    continue
+                yield b
+
+        batches = _skip_resumed(batches, resume_base)
 
     # Interval flushes on the device path run in a single background worker:
     # the host CWS/CMS scan (native, exact) overlaps the next interval's
@@ -395,16 +511,29 @@ def run_sketch_pipeline(
                 if dev is not None:
                     wait_flush()
                     dev.drain_into(spectrum)
-                    pending = pool.submit(interval_flush)
+                    counters = snap_states = None
+                    if cfg.checkpoint_path:
+                        import copy
+
+                        counters = (
+                            seq_count, length_total,
+                            minimizer_count + dev.minimizer_total(),
+                        )
+                        snap_states = (
+                            copy.deepcopy(kmv), copy.deepcopy(khf),
+                            copy.deepcopy(hmh),
+                        )
+                        dev.collect(*snap_states)
+                    pending = pool.submit(interval_flush, counters, snap_states)
                 else:
-                    interval_flush()
+                    interval_flush((seq_count, length_total, minimizer_count))
 
         log.info("generating final histosketch of k-mer spectra...")
         wait_flush()
         if dev is not None:
             dev.drain_into(spectrum)
             dev.collect(kmv, khf, hmh)
-            minimizer_count = dev.minimizer_total()
+            minimizer_count = minimizer_count + dev.minimizer_total()
 
         if multi_host:
             # merge the per-process partial states (exact: integer histogram

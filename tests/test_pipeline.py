@@ -199,3 +199,64 @@ def test_fused_stream_step_matches_two_sort():
         a = np.asarray(sv1); a = np.sort(a[a != U])
         b = np.asarray(sv2); b = np.sort(b[b != U])
         assert np.array_equal(a, b)
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """A run resumed from the interval-2 checkpoint must produce exactly the
+    sketch of the uninterrupted run — all state (histosketch, CMS, counters,
+    secondary sketches) round-trips. Covers host and device-code paths."""
+    import os
+
+    import numpy as np
+
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    fixture = "/root/reference/testing/test-reads-small.fq.gz"
+    if not os.path.exists(fixture):
+        import pytest
+
+        pytest.skip("fixture missing")
+    ck = str(tmp_path / "state.npz")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, interval=250, kmv=True, khf=True,
+              hmh=True, decay_ratio=0.8)
+    for device in (False, True):
+        base = dict(kw, device_stream=device)
+        full = run_sketch_pipeline(stream_reads([fixture]), SketchConfig(**base))
+
+        # first run writes checkpoints; stop it after the whole file (the
+        # checkpoint retained is the LAST interval's — resume from a fresh
+        # 500-read prefix instead to simulate a mid-stream kill)
+        import gzip
+        import itertools
+
+        lines = gzip.open(fixture, "rb").read().splitlines()
+        prefix = [lines[i] for i in range(2000)]  # 500 reads * 4 lines
+
+        def reads_from(ls):
+            for i in range(0, len(ls), 4):
+                yield ls[i + 1]
+
+        r1 = run_sketch_pipeline(
+            iter(list(reads_from(prefix))),
+            SketchConfig(**base, checkpoint_path=ck),
+        )
+        assert os.path.exists(ck)
+
+        r2 = run_sketch_pipeline(
+            stream_reads([fixture]),
+            SketchConfig(**base, resume_from=ck),
+        )
+        s_full = dict(full.hulk_data.signatures)
+        s_res = dict(r2.hulk_data.signatures)
+        for algo in ("histosketch", "kmv", "khf", "hyperminhash"):
+            assert np.array_equal(
+                s_full[algo].get_sketch(), s_res[algo].get_sketch()
+            ), (device, algo)
+        assert np.array_equal(
+            s_full["histosketch"].sketch_weights, s_res["histosketch"].sketch_weights
+        )
+        assert r2.seq_count == full.seq_count
+        assert r2.minimizer_count == full.minimizer_count
+        assert r2.length_total == full.length_total
