@@ -224,6 +224,18 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
     return hist, count + cnt.astype(count.dtype), vals_flat
 
 
+def bottom_k_values(vals_flat, s: int):
+    """Smallest s values of a SENT-padded distinct stream, ascending, SENT
+    padded — the value-sorted prefix KMV needs, without sorting the full
+    width. Valid while values fit in positive i64 (always when the fused
+    path is selected: 2k+8 <= 64 - log2 R <= 62)."""
+    big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    vi = jnp.where(vals_flat == _U64SENT, big, vals_flat.astype(jnp.int64))
+    nk = jax.lax.top_k(-vi, s)[0]  # largest of -v == smallest of v, asc in v
+    asc = -nk
+    return jnp.where(asc == big, _U64SENT, asc.astype(jnp.uint64))
+
+
 @partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
 def sketch_stream_step_fused(hist, count, codes, lengths, *, k: int, w: int,
                              bucket: int, pallas: bool = False):

@@ -66,6 +66,7 @@ def make_sharded_stream_step(
     """
     from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
     from hulk_tpu.ops.device_step import (
+        bottom_k_values,
         fused_bits_ok,
         stream_step_body,
         stream_step_fused_body,
@@ -73,17 +74,14 @@ def make_sharded_stream_step(
 
     def local_step(hist, count, codes, lengths, kmv, khf, hmh):
         hist, count, kmv, khf, hmh = hist[0], count[0], kmv[0], khf[0], hmh[0]
-        # KMV needs value-sorted input -> two-sort body; otherwise fused
-        body = (
-            stream_step_fused_body
-            if not use_kmv and fused_bits_ok(k, codes.shape[0])
-            else stream_step_body
-        )
+        fused = fused_bits_ok(k, codes.shape[0])
+        body = stream_step_fused_body if fused else stream_step_body
         hist, count, svals = body(
             hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
         )
         if use_kmv:
-            kmv = kmv_update(kmv, svals)
+            kmv_in = bottom_k_values(svals, kmv.shape[0]) if fused else svals
+            kmv = kmv_update(kmv, kmv_in)
         if use_khf:
             khf = khf_update(khf, svals)
         if use_hmh:

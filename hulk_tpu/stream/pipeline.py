@@ -104,6 +104,7 @@ class _DeviceStream:
 
         from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
         from hulk_tpu.ops.device_step import (
+            bottom_k_values,
             fused_bits_ok,
             sketch_stream_step,
             sketch_stream_step_fused,
@@ -114,13 +115,10 @@ class _DeviceStream:
         codes = jax.device_put(batch.codes)
         lengths = jax.device_put(batch.lengths)
         r, l = batch.codes.shape
-        # fused single-sort step unless KMV needs value-sorted input or the
-        # read id cannot be packed above the value bits
-        step = (
-            sketch_stream_step_fused
-            if not cfg.kmv and fused_bits_ok(cfg.kmer_size, r)
-            else sketch_stream_step
-        )
+        # fused single-sort step when the read id packs above the value bits;
+        # KMV's value-sorted prefix then comes from a bottom-k pass
+        fused = fused_bits_ok(cfg.kmer_size, r)
+        step = sketch_stream_step_fused if fused else sketch_stream_step
         self.hist, self.count, svals = step(
             self.hist,
             self.count,
@@ -132,7 +130,10 @@ class _DeviceStream:
             pallas=self.pallas,
         )
         if self.kmv_state is not None:
-            self.kmv_state = kmv_update(self.kmv_state, svals)
+            kmv_in = (
+                bottom_k_values(svals, cfg.sketch_size) if fused else svals
+            )
+            self.kmv_state = kmv_update(self.kmv_state, kmv_in)
         if self.khf_state is not None:
             self.khf_state = khf_update(self.khf_state, svals)
         if self.hmh_regs is not None:
