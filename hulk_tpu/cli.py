@@ -127,6 +127,9 @@ def run_sketch(args) -> None:
     nproc = os.cpu_count() or 1
     if args.processors <= 0 or args.processors > nproc:
         args.processors = nproc
+    from hulk_tpu import native as _native
+
+    _native.set_threads(args.processors)
     if not fastq:
         if sys.stdin.isatty():
             _error_check("no STDIN found")

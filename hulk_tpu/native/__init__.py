@@ -75,6 +75,8 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
     ]
+    lib.hulk_set_threads.argtypes = [ctypes.c_int32]
+    lib.hulk_set_threads.restype = None
     lib.hulk_pack_fasta.restype = ctypes.c_int64
     lib.hulk_pack_fasta.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -87,6 +89,13 @@ def _load():
 
 def available() -> bool:
     return _load() is not None
+
+
+def set_threads(n: int) -> None:
+    """Honour the CLI's -p for the OpenMP passes (reference NumMinions=p)."""
+    lib = _load()
+    if lib is not None:
+        lib.hulk_set_threads(int(n))
 
 
 def _ptr(a: np.ndarray):

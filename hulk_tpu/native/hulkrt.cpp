@@ -157,6 +157,16 @@ static inline double gorand_f64(GoRand* g) {
     }
 }
 
+// Honour the CLI's -p/--processors for host-side parallel passes (the
+// reference's NumMinions = p semantics, cmd/sketch.go:140).
+void hulk_set_threads(int32_t n) {
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 double hulk_gorand_float64(GoRand* g) { return gorand_f64(g); }
 int64_t hulk_gorand_int63(GoRand* g) {
     return (int64_t)(gorand_u64(g) & 0x7FFFFFFFFFFFFFFFULL);
