@@ -270,6 +270,13 @@ def run_smash(args) -> None:
     _setup_log(args.log_file or None)
     log.info("this is hulk (version %s)", HULK_COMPAT_VERSION)
     log.info("starting the smash subcommand")
+    if args.profiling:  # reference wraps smash in a profile too (smash.go:65-69)
+        import atexit
+
+        import jax
+
+        jax.profiler.start_trace("./hulk-profile")
+        atexit.register(jax.profiler.stop_trace)
 
     if args.metric not in AVAIL_METRICS:
         _error_check(

@@ -205,3 +205,31 @@ def test_stream_interval_output(tmp_path, capsysbinary):
     lastiv = json.loads(b'{\n    "class": "hulk_sketch"' + chunks[3])
     final = json.loads((tmp_path / "st.json").read_text())
     assert lastiv["signatures"][0]["Sketch"]["mins"] == final["signatures"][0]["Sketch"]["mins"]
+
+
+def test_smash_device_jaccard_matches_host(tmp_path):
+    """The >64-sketch device path with the plain jaccard metric (exact i32
+    counting) must match the host per-pair path cell-for-cell."""
+    import numpy as np
+
+    from hulk_tpu.hashes.cws import build_cws_tables
+    from hulk_tpu.io.sketchio import HULKData, load_hulk_data
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    dims = 256
+    tables = build_cws_tables(6, dims)
+    rng = np.random.default_rng(5)
+    for i in range(70):
+        h = HistoSketch(11, 6, dims, 1.0, tables=tables)
+        ids = np.sort(rng.choice(dims, 40, replace=False)).astype(np.int64)
+        h.add_elements(ids, rng.integers(1, 9, 40).astype(np.float64))
+        d = HULKData(filename=f"s{i}", banner="b")
+        d.add(h)
+        d.write_json(str(tmp_path / f"s{i:03d}.json"))
+    run_cli(["smash", "-d", ".", "-k", "11", "-m", "jaccard", "-o", "dj"], tmp_path)
+    lines = (tmp_path / "dj.hulk-matrix.csv").read_text().splitlines()
+    assert len(lines) == 71
+    a = load_hulk_data(str(tmp_path / "s002.json"))
+    b = load_hulk_data(str(tmp_path / "s047.json"))
+    d_host = a.get_distance(b, "jaccard", 11, "histosketch")
+    assert lines[3].split(",")[47] == f"{100 - d_host * 100:.2f}"

@@ -260,3 +260,20 @@ def test_checkpoint_resume_bit_identical(tmp_path):
         assert r2.seq_count == full.seq_count
         assert r2.minimizer_count == full.minimizer_count
         assert r2.length_total == full.length_total
+
+
+def test_bottom_k_values():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hulk_tpu.ops.device_step import bottom_k_values
+
+    U = np.uint64(0xFFFFFFFFFFFFFFFF)
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 2**60, 500, dtype=np.uint64)
+    vals[rng.random(500) < 0.5] = U  # sentinel padding
+    out = np.asarray(bottom_k_values(jnp.asarray(vals), 16))
+    live = np.sort(vals[vals != U])
+    exp = live[:16]
+    assert np.array_equal(out[: exp.shape[0]], exp)
+    assert (out[exp.shape[0]:] == U).all()
