@@ -89,6 +89,17 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--recursive", action="store_true", help="recursively search the supplied sketch directory")
     pi.add_argument("-s", "--sketchSize", type=int, default=50, help="sketch size the index holds")
 
+    pp = sub.add_parser("print", help="print sketch values as CSV rows (v0.0.2 surface)")
+    _add_global_flags(pp)
+    pp.add_argument("-f", "--file", action="append", default=[], required=True, help="sketch JSON file(s) to print")
+    pp.add_argument("-a", "--algorithm", type=str, default="histosketch", help="which sketch to print [histosketch, kmv, khf]")
+
+    pd = sub.add_parser("distance", help="distance between two sketches (v0.0.2 surface)")
+    _add_global_flags(pd)
+    pd.add_argument("-f", "--file", action="append", default=[], required=True, help="exactly two sketch JSON files")
+    pd.add_argument("-a", "--algorithm", type=str, default="histosketch", help="which sketching algorithm to use [histosketch, kmv, khf]")
+    pd.add_argument("-m", "--metric", type=str, default="jaccard", help="which distance metric to use [jaccard, weightedjaccard]")
+
     pv = sub.add_parser("version", help="prints current version and exits")
     _add_global_flags(pv)
 
@@ -419,6 +430,43 @@ def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
     return 1.0 - np.asarray(pairwise_jaccard_sim(mins.astype(np.int64)))
 
 
+# ---- print / distance (v0.0.2 surface reconstructions) ---------------------
+# Neither exists in v1.0.0; the paper notebooks pipe `hulk print -f X` rows
+# into feature-matrix CSVs (banner-matrix row format: sketch ints, then the
+# file path as the label — paper/analysis-notebooks/2.indexing.ipynb), and
+# `hulk distance` is listed in the v0.0.2 CLI (SURVEY.md).
+
+def run_print(args) -> None:
+    from hulk_tpu.io.sketchio import SketchIOError, load_hulk_data
+
+    _setup_log(args.log_file or None)
+    for f in args.file:
+        try:
+            data = load_hulk_data(f)
+            obj = data.find_sketch(args.kmerSize, args.algorithm)
+        except SketchIOError as e:
+            _error_check(str(e))
+            return
+        row = ",".join(str(int(v)) for v in obj.get_sketch())
+        sys.stdout.write(f"{row},{f}\n")
+
+
+def run_distance(args) -> None:
+    from hulk_tpu.io.sketchio import SketchIOError, load_hulk_data
+
+    _setup_log(args.log_file or None)
+    if len(args.file) != 2:
+        _error_check("distance needs exactly two sketch files (-f A -f B)")
+    try:
+        a = load_hulk_data(args.file[0])
+        b = load_hulk_data(args.file[1])
+        d = a.get_distance(b, args.metric, args.kmerSize, args.algorithm)
+    except SketchIOError as e:
+        _error_check(str(e))
+        return
+    print(f"{d:.6f}")
+
+
 # ---- index ----------------------------------------------------------------
 
 def run_index(args) -> None:
@@ -494,6 +542,10 @@ def main(argv=None) -> int:
         run_smash(args)
     elif args.subcommand == "index":
         run_index(args)
+    elif args.subcommand == "print":
+        run_print(args)
+    elif args.subcommand == "distance":
+        run_distance(args)
     elif args.subcommand == "version":
         print(HULK_COMPAT_VERSION)
     else:

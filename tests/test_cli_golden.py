@@ -233,3 +233,29 @@ def test_smash_device_jaccard_matches_host(tmp_path):
     b = load_hulk_data(str(tmp_path / "s047.json"))
     d_host = a.get_distance(b, "jaccard", 11, "histosketch")
     assert lines[3].split(",")[47] == f"{100 - d_host * 100:.2f}"
+
+
+def test_print_and_distance_subcommands(tmp_path, capsys):
+    """v0.0.2 surface reconstructions: `hulk print` emits banner-matrix-style
+    CSV rows (values + file path); `hulk distance` prints the pairwise
+    distance the smash matrix would contain."""
+    shutil.copy(os.path.join(GOLDEN, "part1.json"), tmp_path / "p1.json")
+    shutil.copy(os.path.join(GOLDEN, "part2.json"), tmp_path / "p2.json")
+    run_cli(["print", "-f", "p1.json", "-f", "p2.json"], tmp_path)
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    assert out[0].endswith(",p1.json") and out[1].endswith(",p2.json")
+    from hulk_tpu.io.sketchio import load_hulk_data
+
+    a = load_hulk_data(str(tmp_path / "p1.json"))
+    vals = [str(int(v)) for v in a.find_sketch(21, "histosketch").get_sketch()]
+    assert out[0] == ",".join(vals) + ",p1.json"
+
+    run_cli(["distance", "-f", "p1.json", "-f", "p2.json", "-m", "weightedjaccard"], tmp_path)
+    got = float(capsys.readouterr().out.strip())
+    b = load_hulk_data(str(tmp_path / "p2.json"))
+    exp = a.get_distance(b, "weightedjaccard", 21, "histosketch")
+    assert abs(got - exp) < 1e-6
+
+    with pytest.raises(SystemExit):
+        run_cli(["distance", "-f", "p1.json"], tmp_path)
