@@ -75,7 +75,11 @@ def _parse(lines: Iterable[bytes], fasta: bool) -> Iterator[bytes]:
         # where FastqHandler only emits complete 4-line groups)
 
 
-DEFAULT_LENGTH_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 65536)
+# finer steps at short-read lengths: the whole device pipeline's width is
+# R x bucket, so a 150 bp read in a 256 bucket wastes 40% of every pass
+DEFAULT_LENGTH_BUCKETS = (
+    128, 160, 192, 256, 320, 512, 1024, 2048, 4096, 8192, 16384, 65536
+)
 
 
 def batch_reads_native(

@@ -38,6 +38,11 @@ def run_cli(args, tmp_path, stdin_bytes=None):
     finally:
         sys.stdin = old_stdin
         os.chdir(old_cwd)
+        # -p 1 runs set the process-wide OpenMP thread count; restore so
+        # later tests keep the parallel native passes
+        from hulk_tpu import native
+
+        native.set_threads(os.cpu_count() or 1)
 
 
 def test_sketch_fixture_matches_golden(tmp_path):
