@@ -1,15 +1,12 @@
-"""Fully-jitted device compute: the streaming sketch step and the fast flush.
+"""Fully-jitted device compute: the streaming sketch steps.
 
 The streaming step (minimizers -> jump binning -> histogram scatter) is
-integer/f64-exact and bit-matches the host path on any backend. The device
-flush (CMS + CWS update as a lax.scan) is the throughput path for huge bin
-counts; it uses XLA's exp/log, so its weights can differ from Go's by ~1 ULP
-(the host flush in sketch/histosketch.py remains the exactness oracle; bin
-choices agree except at exact FP decision boundaries).
-
-Designed so the histogram is a donated carry: steps accumulate on device with
-no host roundtrips, and data-parallel shards merge with psum (exact — counts
-are integer-valued f64).
+integer-exact and bit-matches the host path on any backend; on TPU the jump
+hash and the minimizer window run as Pallas kernels. The histogram is a
+donated carry: steps accumulate on device with no host roundtrips, and
+data-parallel shards each own their carry (exact host merge once per
+interval; see parallel/mesh.py, which also holds the mesh-scale device
+flush).
 """
 from __future__ import annotations
 
