@@ -429,6 +429,11 @@ def run_sketch_pipeline(
             "interval flushing requires a single process (multi-host runs "
             "shard whole files; use interval=0)"
         )
+    if multi_host and (cfg.checkpoint_path or cfg.resume_from):
+        raise PipelineError(
+            "checkpoint/resume requires a single process (snapshots are "
+            "per-interval, and intervals are single-process)"
+        )
     if use_device and use_dp and ndev > 1:
         dev = _ShardedDeviceStream(cfg, nbins, ndev)
     elif use_device:
