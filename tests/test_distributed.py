@@ -55,6 +55,7 @@ def test_two_process_sketch_matches_single(tmp_path):
                     sys.executable, "-m", "hulk_tpu.cli", "sketch",
                     "-f", fa, "-f", fb, "-k", "11", "-s", "8",
                     "-o", out_multi, "-p", "1",
+                    "--kmv", "--khf", "--hmh",  # exercise the secondary merges
                 ],
                 env=env, cwd=tmp_path,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -72,6 +73,7 @@ def test_two_process_sketch_matches_single(tmp_path):
             sys.executable, "-m", "hulk_tpu.cli", "sketch",
             "-f", fa, "-f", fb, "-k", "11", "-s", "8",
             "-o", out_single, "-p", "1",
+            "--kmv", "--khf", "--hmh",
         ],
         env=env, cwd=tmp_path, capture_output=True,
     )
