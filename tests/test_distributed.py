@@ -12,10 +12,21 @@ import sys
 import pytest
 
 FIXTURE = "/root/reference/testing/test-reads-small.fq.gz"
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(FIXTURE), reason="reference fixture not mounted"
 )
+
+
+def _env(**extra):
+    """Subprocess env: the repo is not pip-installed, so the package must be
+    importable from any cwd via PYTHONPATH."""
+    env = dict(os.environ, **extra)
+    env["PYTHONPATH"] = REPO_ROOT + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    return env
 
 
 def _split_fixture(tmp_path):
@@ -41,8 +52,7 @@ def test_two_process_sketch_matches_single(tmp_path):
 
     procs = []
     for pid in range(2):
-        env = dict(
-            os.environ,
+        env = _env(
             HULK_PLATFORM="cpu",
             JAX_PLATFORMS="cpu",
             HULK_COORDINATOR=f"127.0.0.1:{port}",
@@ -66,7 +76,7 @@ def test_two_process_sketch_matches_single(tmp_path):
         assert p.returncode == 0, o.decode(errors="replace")[-2000:]
 
     # single-process reference over the same two files
-    env = dict(os.environ, HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    env = _env(HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu")
     out_single = str(tmp_path / "single")
     r = subprocess.run(
         [
