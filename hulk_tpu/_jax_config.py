@@ -21,3 +21,8 @@ _cache_dir = os.environ.get(
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Keep call-site tracebacks out of MLIR locations: Pallas kernel payloads
+# otherwise embed the entry script's path, which changes the serialized
+# module byte-for-byte and defeats the persistent cache across entry points.
+jax.config.update("jax_include_full_tracebacks_in_locations", False)
+jax.config.update("jax_traceback_in_locations_limit", 0)

@@ -27,7 +27,7 @@ def hash64_np(key: np.ndarray, mask: int) -> np.ndarray:
 
 def hash64_jnp(key, mask: int):
     key = key.astype(jnp.uint64)
-    m = jnp.uint64(mask)
+    m = np.uint64(mask)
     key = (~key + (key << 21)) & m
     key = key ^ (key >> 24)
     key = ((key + (key << 3)) + (key << 8)) & m

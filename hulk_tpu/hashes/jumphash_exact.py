@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import hulk_tpu._jax_config  # noqa: F401
 
@@ -42,12 +43,14 @@ U64 = jnp.uint64
 U32 = jnp.uint32
 
 
-def _u(x) -> jnp.ndarray:
-    return jnp.uint64(x)
+def _u(x):
+    # np scalar: jnp scalars are device arrays whose lowering-time value
+    # fetch costs a device sync (seconds through a remote tunnel)
+    return np.uint64(x)
 
 
-def _u32(x) -> jnp.ndarray:
-    return jnp.uint32(x)
+def _u32(x):
+    return np.uint32(x)
 
 
 def _bitlen32(x):
@@ -126,8 +129,8 @@ def _jump_body(state, n):
     # ---- q = RN(2^31/d): mantissa m = RNE(2^83/dn), exponent 30-t ----------
     dn = d32 << jnp.clip(30 - t, 0, 30).astype(U32)  # [2^30, 2^31) for t<=30
     dn64 = dn.astype(jnp.int64)
-    rcp = jnp.float32(1.0) / dn.astype(jnp.float32)
-    d1, r1 = _digit(jnp.full(key.shape, 1 << 57, dtype=jnp.int64), dn, dn64, rcp, 2)
+    rcp = np.float32(1.0) / dn.astype(jnp.float32)
+    d1, r1 = _digit(jnp.full_like(dn64, 1 << 57), dn, dn64, rcp, 2)
     d2, r2 = _digit(r1 << 26, dn, dn64, rcp, 3)
     m = ((d1.astype(U64) << _u(26)) + d2.astype(U64))  # floor(2^83/dn), 53 bits
     # round half to even
@@ -151,7 +154,7 @@ def _jump_body(state, n):
     main = jnp.where(shift > 0, hi_part | _shr(p_lo, shift), p_lo)
     g_pos = jnp.clip(shift - 1, 0, 63)
     guard = jnp.where(shift > 0, _shr(p_lo, g_pos) & _u(1), _u(0))
-    sticky_mask = _shl(jnp.full(p_lo.shape, 1, dtype=U64), g_pos) - _u(1)
+    sticky_mask = _shl(jnp.full_like(p_lo, 1), g_pos) - _u(1)
     sticky = jnp.where(shift > 1, (p_lo & sticky_mask) != _u(0), False)
     roundup = (guard == _u(1)) & (sticky | ((main & _u(1)) == _u(1)))
     main = main + jnp.where(roundup, _u(1), _u(0))
@@ -172,7 +175,7 @@ def _jump_body(state, n):
 
 def jump_hash_exact_jnp(key, num_buckets: int):
     """Bit-exact Go jump hash on any backend, including TPU."""
-    n = jnp.int64(num_buckets)
+    n = np.int64(num_buckets)
     key = key.astype(U64)
 
     zeros = jnp.zeros_like(key, dtype=jnp.int64)

@@ -12,10 +12,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import hulk_tpu._jax_config  # noqa: F401
 
-_SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_SENT = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 @jax.jit
@@ -34,7 +35,7 @@ def khf_update(state, svals):
     post-multiply masking (no universally-max input exists under wrap)."""
     s = state.shape[0]
     live = svals != _SENT
-    i = jnp.arange(s, dtype=jnp.uint64)[:, None]
+    i = np.arange(s, dtype=np.uint64)[:, None]  # host constant
     vals = svals[None, :] + i * svals[None, :]
     vals = jnp.where(live[None, :], vals, _SENT)
     return jnp.minimum(state, vals.min(axis=1))
@@ -42,15 +43,15 @@ def khf_update(state, svals):
 
 def _mix64_jnp(x):
     z = x.astype(jnp.uint64)
-    z = (z ^ (z >> 30)) * jnp.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> 27)) * jnp.uint64(0x94D049BB133111EB)
+    z = (z ^ (z >> 30)) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> 27)) * np.uint64(0x94D049BB133111EB)
     return z ^ (z >> 31)
 
 
 def _bitlen_jnp(x):
-    n = jnp.zeros(x.shape, dtype=jnp.int64)
+    n = jnp.zeros_like(x, dtype=jnp.int64)
     for sh in (32, 16, 8, 4, 2, 1):
-        big = x >= (jnp.uint64(1) << jnp.uint64(sh))
+        big = x >= np.uint64(1 << sh)
         n = n + jnp.where(big, sh, 0)
         x = jnp.where(big, x >> sh, x)
     return n + jnp.where(x > 0, 1, 0).astype(jnp.int64)
@@ -64,8 +65,8 @@ def hmh_update(registers, svals, *, p: int, q: int, r: int):
     bucket = (h >> (64 - p)).astype(jnp.int32)
     rest = h << p
     lz = jnp.minimum(64 - _bitlen_jnp(rest) + 1, (1 << q) - 1)
-    rbits = h & jnp.uint64((1 << r) - 1)
-    enc = (lz.astype(jnp.uint64) << r) | (jnp.uint64((1 << r) - 1) - rbits)
-    enc = jnp.where(live, enc, jnp.uint64(0))
+    rbits = h & np.uint64((1 << r) - 1)
+    enc = (lz.astype(jnp.uint64) << r) | (np.uint64((1 << r) - 1) - rbits)
+    enc = jnp.where(live, enc, np.uint64(0))
     bucket = jnp.where(live, bucket, 0)
     return registers.at[bucket].max(enc)

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 import hulk_tpu._jax_config  # noqa: F401
 from hulk_tpu.hashes.jumphash_exact import jump_hash_exact_jnp
@@ -72,7 +73,7 @@ def minimizer_values_step(codes, lengths, *, k: int, w: int):
 # equal U64MAX (proof in ops/minimizer.py — the reference only reports at
 # positions whose own entry has low byte = span in [1, 31]).
 
-_U64SENT = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_U64SENT = np.uint64(0xFFFFFFFFFFFFFFFF)  # np scalar (device scalars cost a D2H sync per lowering)
 
 
 @partial(jax.jit, static_argnames=("k", "w"))
@@ -92,7 +93,7 @@ def bin_scatter_slice(hist, svals, *, pallas: bool = False):
     """
     nbins = hist.shape[0]
     live = svals != _U64SENT
-    keys = jnp.where(live, svals, jnp.uint64(0))
+    keys = jnp.where(live, svals, np.uint64(0))
     bins = _jump_bins(keys, nbins, pallas)
     hist = hist.at[bins].add(live.astype(jnp.int32))
     return hist
@@ -163,11 +164,11 @@ def bin_scatter_keys(hist, skeys, *, vbits: int, pallas: bool = False):
     nbins = hist.shape[0]
     live = skeys != _U64SENT
     neq = jnp.concatenate(
-        [jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]]
+        [jnp.ones_like(skeys[:1], dtype=bool), skeys[1:] != skeys[:-1]]
     )
     mask = live & neq
-    vals = skeys & jnp.uint64((1 << vbits) - 1)
-    keys = jnp.where(mask, vals, jnp.uint64(0))
+    vals = skeys & np.uint64((1 << vbits) - 1)
+    keys = jnp.where(mask, vals, np.uint64(0))
     bins = _jump_bins(keys, nbins, pallas)
     hist = hist.at[bins].add(mask.astype(jnp.int32))
     return hist
@@ -186,19 +187,22 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
         wmin, report = minimizer_window(codes, lengths, k=k, w=w)
     # adjacent-run prededup along positions (optimisation only)
     prev_same = jnp.concatenate(
-        [jnp.zeros((R, 1), dtype=bool),
+        [jnp.zeros_like(report[:, :1]),
          (wmin[:, 1:] == wmin[:, :-1]) & report[:, :-1]],
         axis=1,
     )
     m = report & ~prev_same
-    rid = jax.lax.broadcasted_iota(jnp.uint64, (R, L), 0)
-    skey = (rid << vbits) | wmin
+    # host constant (an eager device iota would be fetched back at lowering)
+    rid = np.arange(R, dtype=np.uint64)[:, None] << np.uint64(vbits)
+    skey = rid | wmin
     flat = jnp.where(m, skey, _U64SENT).reshape(-1)
     skeys = jnp.sort(flat)
 
     # distinct count (the reference's minimizer counter) over full width
     live = skeys != _U64SENT
-    neq = jnp.concatenate([jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]])
+    neq = jnp.concatenate(
+        [jnp.ones_like(skeys[:1], dtype=bool), skeys[1:] != skeys[:-1]]
+    )
     cnt = jnp.sum(live & neq)
     m_live = jnp.sum(m)  # live lanes incl. surviving duplicates
 
@@ -216,7 +220,7 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
     # distinct values for KHF/HMH feeds (idempotent updates; order-free).
     # KMV needs globally VALUE-sorted input — callers use the two-sort path.
     vals_flat = jnp.where(
-        live & neq, skeys & jnp.uint64((1 << vbits) - 1), _U64SENT
+        live & neq, skeys & np.uint64((1 << vbits) - 1), _U64SENT
     )
     return hist, count + cnt.astype(count.dtype), vals_flat
 
@@ -226,7 +230,7 @@ def bottom_k_values(vals_flat, s: int):
     padded — the value-sorted prefix KMV needs, without sorting the full
     width. Valid while values fit in positive i64 (always when the fused
     path is selected: 2k+8 <= 64 - log2 R <= 62)."""
-    big = jnp.int64(0x7FFFFFFFFFFFFFFF)
+    big = np.int64(0x7FFFFFFFFFFFFFFF)
     vi = jnp.where(vals_flat == _U64SENT, big, vals_flat.astype(jnp.int64))
     nk = jax.lax.top_k(-vi, s)[0]  # largest of -v == smallest of v, asc in v
     asc = -nk

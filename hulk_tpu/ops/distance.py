@@ -60,7 +60,7 @@ def _wjd_block(a, wa, ws, b):
         eq_j, w_j = xs  # [B, C], [B]
         return acc + jnp.where(eq_j, w_j[:, None], 0.0), None
 
-    acc0 = jnp.zeros(eq.shape[:2], dtype=jnp.float64)
+    acc0 = jnp.zeros_like(eq[:, :, 0], dtype=jnp.float64)
     inter, _ = jax.lax.scan(body, acc0, (jnp.moveaxis(eq, 2, 0), wa.T))
     return 1.0 - inter / jnp.maximum(ws[:, None], 1e-300)
 

@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -292,7 +293,7 @@ def jump_hash_pallas(keys, num_buckets: int, block_rows: int = 64, interpret: bo
             f"128*block_rows={lanes}; pad with zero keys (they bin to 0 in "
             f"one iteration and can be masked out by the caller)"
         )
-    kh = (keys >> jnp.uint64(32)).astype(U32).reshape(n // 128, 128)
+    kh = (keys >> np.uint64(32)).astype(U32).reshape(n // 128, 128)
     kl = keys.astype(U32).reshape(n // 128, 128)
     grid = n // lanes
     # index map returns explicitly-typed ints: under jax_enable_x64 a literal
@@ -320,6 +321,6 @@ def jump_hash_tpu(keys, num_buckets: int, block_rows: int = 64, interpret: bool 
     lanes = 128 * block_rows
     pad = (-n) % lanes
     if pad:
-        keys = jnp.concatenate([keys, jnp.zeros(pad, dtype=jnp.uint64)])
+        keys = jnp.pad(keys, (0, pad))
     out = jump_hash_pallas(keys, num_buckets, block_rows, interpret)
     return out[:n] if pad else out

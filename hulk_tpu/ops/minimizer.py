@@ -31,7 +31,7 @@ import numpy as np
 import hulk_tpu._jax_config  # noqa: F401
 from hulk_tpu.hashes.hash64 import hash64_jnp
 
-_U64MAX = jnp.uint64(0xFFFFFFFFFFFFFFFF)
+_U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)  # np scalar: a jnp scalar would live on device and cost a D2H sync at every lowering
 
 
 @partial(jax.jit, static_argnames=("k", "w"))
@@ -52,13 +52,17 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     R, L = codes.shape
     c = codes.astype(jnp.uint64)
     mask_int = (1 << (2 * k)) - 1
-    mask = jnp.uint64(mask_int)
-    pos = jnp.arange(L, dtype=jnp.int64)[None, :]  # [1, L]
+    mask = np.uint64(mask_int)
+    # NB: constants in this function are numpy (host) or derived from tracers.
+    # An eager jnp constant inside a traced function materialises on the
+    # device and is fetched back during lowering — through a remote-device
+    # tunnel that one fetch can cost longer than the XLA compile itself.
+    pos = np.arange(L, dtype=np.int64)[None, :]  # [1, L]
     in_read = pos < lengths[:, None].astype(jnp.int64)
 
     # forward k-mer: OR_{j=0..k-1} c[i-j] << 2j  (left-pad contributes 0)
-    cf = jnp.concatenate([jnp.zeros((R, k - 1), dtype=jnp.uint64), c], axis=1)
-    fwd = jnp.zeros((R, L), dtype=jnp.uint64)
+    cf = jnp.pad(c, ((0, 0), (k - 1, 0)))
+    fwd = jnp.zeros_like(c)
     for j in range(k):
         fwd = fwd | (cf[:, k - 1 - j : k - 1 - j + L] << (2 * j))
     fwd = fwd & mask
@@ -66,18 +70,15 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     # reverse k-mer: OR_{j=0..k} (3^c[i-j]) << (2(k-1)-2j), j=k term is >>2;
     # left-pad with 3 so 3^pad == 0. No mask in the reference (uint64 carry
     # of N-bits is part of the replicated behaviour).
-    comp = jnp.uint64(3) ^ jnp.concatenate(
-        [jnp.full((R, k), 3, dtype=jnp.uint64), c], axis=1
-    )
-    rc = jnp.zeros((R, L), dtype=jnp.uint64)
+    comp = np.uint64(3) ^ jnp.pad(c, ((0, 0), (k, 0)), constant_values=3)
+    rc = jnp.zeros_like(c)
     for j in range(k):
         rc = rc | (comp[:, k - j : k - j + L] << (2 * (k - 1) - 2 * j))
     rc = rc | (comp[:, 0:L] >> 2)  # j == k: only an N (code 4) survives
 
     # span = min(i-w+2, k), then Go converts int32 span -> uint64 (sign-extends)
-    span = jnp.minimum(pos - (w - 2), k).astype(jnp.int64)
-    span_u = span.astype(jnp.uint64)
-    span_u = jnp.broadcast_to(span_u, (R, L))
+    span = np.minimum(pos - (w - 2), k).astype(np.int64)
+    span_u = span.astype(np.uint64)  # host constant, [1, L]; broadcasts below
 
     nonsym = fwd != rc
     valid = nonsym & (pos >= (k - 1)) & in_read
@@ -90,7 +91,7 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     # sliding-window minimum over the trailing w positions, via prefix
     # doubling (log2(w) mins instead of w-1; min is associative so blocks
     # covering 2^j trailing positions compose exactly)
-    pxm = jnp.concatenate([jnp.full((R, w - 1), _U64MAX, dtype=jnp.uint64), xm], axis=1)
+    pxm = jnp.pad(xm, ((0, 0), (w - 1, 0)), constant_values=np.uint64(0xFFFFFFFFFFFFFFFF))
 
     blk = pxm  # covers 1 trailing position
     blk_len = 1
@@ -139,7 +140,8 @@ def minimizer_scan(codes, lengths, *, k: int, w: int):
     vals = jnp.where(report, wmin, _U64MAX)
     svals = jnp.sort(vals, axis=1)
     neq_prev = jnp.concatenate(
-        [jnp.ones((R, 1), dtype=bool), svals[:, 1:] != svals[:, :-1]], axis=1
+        [jnp.ones_like(svals[:, :1], dtype=bool), svals[:, 1:] != svals[:, :-1]],
+        axis=1,
     )
     out_mask = neq_prev & (svals != _U64MAX)
     return svals, out_mask

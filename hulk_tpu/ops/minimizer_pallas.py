@@ -27,6 +27,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -239,5 +240,5 @@ def minimizer_window_pallas(codes, lengths, *, k: int, w: int,
     )(ci, len2d)
     if pad_r or pad_l:
         wh, wl, rep = wh[:R0, :L0], wl[:R0, :L0], rep[:R0, :L0]
-    wmin = (wh.astype(jnp.uint64) << jnp.uint64(32)) | wl.astype(jnp.uint64)
+    wmin = (wh.astype(jnp.uint64) << np.uint64(32)) | wl.astype(jnp.uint64)
     return wmin, rep.astype(bool)

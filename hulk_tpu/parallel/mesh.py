@@ -108,7 +108,7 @@ def sharded_histogram_step(mesh: Mesh, nbins: int, k: int, w: int):
     def local_step(codes, lengths):
         vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
         bins = jump_hash_exact_jnp(vals, nbins)
-        hist = jnp.zeros((nbins,), dtype=jnp.int32)
+        hist = jnp.zeros((nbins,), dtype=jnp.int32)  # splat zeros: cheap constant
         hist = hist.at[bins.reshape(-1)].add(mask.astype(jnp.int32).reshape(-1))
         hist = jax.lax.psum(hist, axis_name="dp")
         count = jax.lax.psum(jnp.sum(mask), axis_name="dp")
@@ -167,7 +167,7 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
                 fs = freqs[order]
                 cs = jnp.cumsum(fs)
                 segst = jnp.concatenate(
-                    [jnp.ones((1,), dtype=bool), ks[1:] != ks[:-1]]
+                    [jnp.ones_like(ks[:1], dtype=bool), ks[1:] != ks[:-1]]
                 )
                 base = jnp.where(segst, cs - fs, -jnp.inf)
                 base = jax.lax.cummax(base)
@@ -188,13 +188,13 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
             aka = jnp.where(live[None, :], aka, jnp.inf)
             s_loc = aka.shape[0]
             best = jnp.argmin(aka, axis=1)
-            best_aka = aka[jnp.arange(s_loc), best]
+            best_aka = aka[np.arange(s_loc), best]
             better = best_aka < weights_sh
             sketch_sh = jnp.where(better, best.astype(sketch_sh.dtype), sketch_sh)
             weights_sh = jnp.where(better, best_aka, weights_sh)
             return cms_out, sketch_sh, weights_sh
 
-        tiny = jnp.float64(np.finfo(np.float64).tiny)
+        tiny = np.float64(np.finfo(np.float64).tiny)
         nbins = hist.shape[0]
 
         def body(carry, xs):
@@ -204,7 +204,7 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
             scaled = cms_c * decay_weight
             scaled = jnp.where(scaled >= tiny, scaled, 0.0)  # subnormal squash
             cms_in = jnp.where(live_e, scaled, cms_c)
-            rows = jnp.arange(depth)
+            rows = np.arange(depth)
             updated = cms_in.at[rows, rb].add(jnp.where(live_e, freq, 0.0))
             esti = updated[rows, rb].min()
             yka = jnp.exp(jnp.log(esti) - b_sh[:, jbin])
@@ -215,7 +215,7 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
             weights = jnp.where(better, aka, weights)
             return (updated, sketch, weights), None
 
-        jbins = jnp.arange(nbins, dtype=jnp.int64)
+        jbins = np.arange(nbins, dtype=np.int64)
         (cms, sketch_sh, weights_sh), _ = jax.lax.scan(
             body, (cms, sketch_sh, weights_sh), (freqs, row_bins.T, jbins)
         )

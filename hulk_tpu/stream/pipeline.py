@@ -69,13 +69,68 @@ class PipelineError(ValueError):
     pass
 
 
+def prefetch_batches(batches, depth: int = 4):
+    """Run a batch iterator in a background thread with a bounded queue.
+
+    The host input path (gunzip + parse + pack, all GIL-releasing) then
+    overlaps the device stream dispatch instead of serialising with it —
+    the reference gets the same overlap from its DataStreamer/FastqHandler
+    goroutines (src/pipeline/pipeline.go:61-70). Exceptions raised by the
+    producer propagate to the consumer; the producer stops if the consumer
+    abandons the iterator.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for b in batches:
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(done)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True, name="hulk-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 class _DeviceStream:
     """Device-resident spectrum + secondary-sketch accumulation.
 
     Keeps the histogram (i32), KMV/KHF/HMH states on the accelerator; only
     interval boundaries pull the (small) histogram to the host for the exact
     flush. Bit-matches the host path (integer-exact ops throughout).
+
+    Batches are staged host-side in groups of GROUP and shipped as ONE
+    [G, R, L] transfer, with sub-batches indexed on device. Remote-tunnel
+    runtimes (axon) materialise each host->device transfer synchronously
+    inside the execution stream, so per-batch transfers cost a round trip
+    per step (measured ~1-3.5 s/step under load vs ~6 ms for device-resident
+    inputs); one grouped transfer amortises that across GROUP steps.
     """
+
+    GROUP = 8
 
     def __init__(self, cfg: SketchConfig, nbins: int):
         import jax.numpy as jnp
@@ -95,13 +150,32 @@ class _DeviceStream:
             from hulk_tpu.sketch.hyperminhash import DEFAULT_P
 
             self.hmh_regs = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
+        self._staged: list = []  # host batches awaiting a grouped transfer
 
     def feed(self, batch) -> None:
-        """Dispatch one batch; never synchronises with the device (the
-        minimizer count accumulates in a donated device scalar, read once at
-        the end — per-step readbacks cost a full tunnel round trip)."""
+        """Stage one batch; dispatch happens per transfer group. Never
+        synchronises with the device (the minimizer count accumulates in a
+        donated device scalar, read once at the end — per-step readbacks cost
+        a full tunnel round trip)."""
+        if self._staged and self._staged[0].codes.shape != batch.codes.shape:
+            self._dispatch_group()
+        self._staged.append(batch)
+        if len(self._staged) >= self.GROUP:
+            self._dispatch_group()
+
+    def _dispatch_group(self) -> None:
+        if not self._staged:
+            return
         import jax
 
+        staged, self._staged = self._staged, []
+        g = len(staged)
+        codes3 = jax.device_put(np.stack([b.codes for b in staged]))
+        lengths2 = jax.device_put(np.stack([b.lengths for b in staged]))
+        for i in range(g):
+            self._step(codes3[i], lengths2[i], staged[i].codes.shape)
+
+    def _step(self, codes, lengths, shape) -> None:
         from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
         from hulk_tpu.ops.device_step import (
             bottom_k_values,
@@ -112,9 +186,7 @@ class _DeviceStream:
         )
 
         cfg = self.cfg
-        codes = jax.device_put(batch.codes)
-        lengths = jax.device_put(batch.lengths)
-        r, l = batch.codes.shape
+        r, l = shape
         # fused single-sort step when the read id packs above the value bits;
         # KMV's value-sorted prefix then comes from a bottom-k pass
         fused = fused_bits_ok(cfg.kmer_size, r)
@@ -144,11 +216,13 @@ class _DeviceStream:
             )
 
     def minimizer_total(self) -> int:
+        self._dispatch_group()
         return int(self.count)
 
     def drain_into(self, spectrum) -> None:
         import jax.numpy as jnp
 
+        self._dispatch_group()
         h = np.asarray(self.hist).astype(np.float64)
         if h.any():
             spectrum.add_dense(h)
@@ -158,6 +232,7 @@ class _DeviceStream:
         """MERGE device states into the host objects (merge, not overwrite,
         so resumed-from-checkpoint host state survives: bottom-k union /
         elementwise min / register max are the sketches' exact merges)."""
+        self._dispatch_group()
         if kmv is not None and self.kmv_state is not None:
             vals = np.asarray(self.kmv_state)
             vals = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
@@ -468,6 +543,9 @@ def run_sketch_pipeline(
                 yield b
 
         batches = _skip_resumed(batches, resume_base)
+
+    if dev is not None:
+        batches = prefetch_batches(batches)
 
     # Interval flushes on the device path run in a single background worker:
     # the host CWS/CMS scan (native, exact) overlaps the next interval's
