@@ -214,6 +214,11 @@ def run_sketch(args) -> None:
         # native C++ parser (FASTQ or FASTA) feeds fixed-shape batches directly
         cfg.input_paths = fastq
         reads = None
+    elif not fastq and jax.process_count() > 1:
+        # more processes than input files: this process's shard is empty. It
+        # must still run the pipeline (the final merge is collective), but it
+        # must NOT fall through to STDIN.
+        reads = iter(())
     else:
         reads = stream_reads(fastq, fasta=args.fasta, stdin=None if fastq else sys.stdin.buffer)
 

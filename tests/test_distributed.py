@@ -93,3 +93,51 @@ def test_two_process_sketch_matches_single(tmp_path):
     single = json.load(open(out_single + ".json"))
     assert multi["signatures"] == single["signatures"]
     assert multi["filename"] == single["filename"]
+
+
+def test_more_processes_than_files(tmp_path):
+    """A process whose file shard is empty must still participate in the
+    collective merge and must NOT read STDIN (VERDICT r2 item 4)."""
+    fa, fb = _split_fixture(tmp_path)
+    out_multi = str(tmp_path / "multi3")
+    port = _free_port()
+
+    procs = []
+    for pid in range(3):
+        env = _env(
+            HULK_PLATFORM="cpu",
+            JAX_PLATFORMS="cpu",
+            HULK_COORDINATOR=f"127.0.0.1:{port}",
+            HULK_NUM_PROCS="3",
+            HULK_PROC_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "hulk_tpu.cli", "sketch",
+                    "-f", fa, "-f", fb, "-k", "11", "-s", "8",
+                    "-o", out_multi, "-p", "1",
+                ],
+                env=env, cwd=tmp_path,
+                stdin=subprocess.DEVNULL,  # a stdin read would fail fast
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+    env = _env(HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    out_single = str(tmp_path / "single3")
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "hulk_tpu.cli", "sketch",
+            "-f", fa, "-f", fb, "-k", "11", "-s", "8",
+            "-o", out_single, "-p", "1",
+        ],
+        env=env, cwd=tmp_path, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+    multi = json.load(open(out_multi + ".json"))
+    single = json.load(open(out_single + ".json"))
+    assert multi["signatures"] == single["signatures"]
