@@ -48,7 +48,7 @@ def sketch_accumulate_step(hist, codes, lengths, *, k: int, w: int, pallas: bool
     f64 divide is not correctly rounded. Returns (hist, n_minimizers).
     """
     nbins = hist.shape[0]
-    vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
+    vals, mask = minimizer_scan(codes, lengths, k=k, w=w, pallas=pallas)
     bins = _jump_bins(vals.reshape(-1), nbins, pallas)
     contrib = mask.astype(jnp.int32)
     hist = hist.at[bins].add(contrib.reshape(-1))
@@ -117,8 +117,11 @@ def stream_bucket(r: int, total: int) -> int:
 def stream_step_body(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
                      pallas: bool = False):
     """Unjitted body of sketch_stream_step — reused inside shard_map by the
-    data-parallel stream (parallel/mesh.make_sharded_stream_step)."""
-    vals, mask = minimizer_scan(codes, lengths, k=k, w=w)
+    data-parallel stream (parallel/mesh.make_sharded_stream_step). With
+    pallas=True both the minimizer window and the jump hash run as Mosaic
+    kernels, so large k (>= 25 at R=8192), which cannot take the fused
+    single-sort step, keeps the Pallas hot path."""
+    vals, mask = minimizer_scan(codes, lengths, k=k, w=w, pallas=pallas)
     cnt = jnp.sum(mask)
     flat = jnp.where(mask, vals, _U64SENT).reshape(-1)
     svals = jnp.sort(flat)

@@ -114,9 +114,14 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     return wmin, report
 
 
-@partial(jax.jit, static_argnames=("k", "w"))
-def minimizer_scan(codes, lengths, *, k: int, w: int):
+@partial(jax.jit, static_argnames=("k", "w", "pallas"))
+def minimizer_scan(codes, lengths, *, k: int, w: int, pallas: bool = False):
     """Per-read distinct minimizer values.
+
+    pallas=True runs the window scan as the Pallas TPU kernel (bit-equal;
+    keeps the hot kernel on the Mosaic path even when the caller cannot use
+    the fused single-sort step, e.g. k >= 25 at R=8192 where read ids no
+    longer pack above the value bits).
 
     Returns:
       values: [R, L] uint64, sorted ascending per read.
@@ -135,7 +140,12 @@ def minimizer_scan(codes, lengths, *, k: int, w: int):
     symmetric-heavy and k=28..31 constructions in tests/test_minimizer.py.)
     """
     R, L = codes.shape
-    wmin, report = minimizer_window(codes, lengths, k=k, w=w)
+    if pallas:
+        from hulk_tpu.ops.minimizer_pallas import minimizer_window_pallas
+
+        wmin, report = minimizer_window_pallas(codes, lengths, k=k, w=w)
+    else:
+        wmin, report = minimizer_window(codes, lengths, k=k, w=w)
     # per-read distinct values: sort reported values, keep first of each run
     vals = jnp.where(report, wmin, _U64MAX)
     svals = jnp.sort(vals, axis=1)

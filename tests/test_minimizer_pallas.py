@@ -72,3 +72,28 @@ _ON_TPU = jax.default_backend() not in ("cpu", "gpu")
 @pytest.mark.parametrize("k,w", [(21, 9), (11, 5), (31, 9)])
 def test_compiled_tpu_matches_xla(k, w):
     check(k, w, r=512, l=256, block_rows=256, interpret=False)
+
+
+def test_minimizer_scan_pallas_flag_interpret(monkeypatch):
+    """minimizer_scan(pallas=True) must bit-match the XLA path (covers the
+    k>=25 fallback route that keeps the Pallas window kernel; VERDICT r2
+    item 6). Interpret mode substitutes for Mosaic off-TPU."""
+    import hulk_tpu.ops.minimizer as m
+    from functools import partial as _partial
+
+    orig = minimizer_window_pallas
+    monkeypatch.setattr(
+        "hulk_tpu.ops.minimizer_pallas.minimizer_window_pallas",
+        _partial(orig, interpret=True),
+    )
+    packed = make_batch(32, 256)
+    for k, w in ((25, 9), (31, 9)):
+        v1, m1 = m.minimizer_scan.__wrapped__(
+            packed.codes, packed.lengths, k=k, w=w, pallas=False
+        )
+        v2, m2 = m.minimizer_scan.__wrapped__(
+            packed.codes, packed.lengths, k=k, w=w, pallas=True
+        )
+        m1 = np.asarray(m1)
+        assert np.array_equal(m1, np.asarray(m2))
+        assert np.array_equal(np.asarray(v1)[m1], np.asarray(v2)[m1])
