@@ -496,18 +496,30 @@ def run_index(args) -> None:
             out.append((jf, obj.get_sketch()))
         return out
 
+    def check_size(got: int, what: str) -> None:
+        if got != args.sketchSize:
+            _error_check(
+                f"sketch size mismatch: {what} has {got} values but the index "
+                f"holds sketches of size {args.sketchSize} (pass -s {got})"
+            )
+
     try:
         if args.run in ("create", "add"):
+            entries = load_mins()
+            if not entries:
+                _error_check(
+                    f"no sketches found in the supplied directory: {sketch_dir}"
+                )
+            check_size(len(entries[0][1]), entries[0][0])
             if args.run == "create":
-                entries = load_mins()
                 forest = LSHForest(
                     kmer_size=args.kmerSize,
-                    sketch_size=len(entries[0][1]),
+                    sketch_size=args.sketchSize,
                     jaccard_thresh=args.jsThresh,
                 )
             else:
                 forest = LSHForest.load_json(args.indexName)
-                entries = load_mins()
+                check_size(forest.sketch_size, f"index {args.indexName}")
             import numpy as np
 
             forest.add_batch(
@@ -520,15 +532,43 @@ def run_index(args) -> None:
                 len(forest.names), forest.n_bands, forest.band_rows, args.indexName,
             )
         else:  # search
+            import jax
+            import numpy as np
+
             forest = LSHForest.load_json(args.indexName)
+            check_size(forest.sketch_size, f"index {args.indexName}")
             queries = load_mins()
+            if not queries:
+                _error_check(
+                    f"no query sketches found in the supplied directory: {sketch_dir}"
+                )
             for name, mins in queries:
-                hits = forest.search(mins, args.jsThresh)
+                check_size(len(mins), name)
+            ndev = len(jax.devices())
+            if ndev > 1:
+                # index rows sharded over the dp mesh: each device ranks its
+                # own 1/D of the corpus, so indexes scale past one chip's
+                # memory (parallel/lsh.py)
+                from hulk_tpu.parallel.lsh import sharded_lsh_search
+                from hulk_tpu.parallel.mesh import make_sketch_mesh
+
+                mesh = make_sketch_mesh(n_dp=ndev, n_mp=1)
+                qmat = np.stack([m for _, m in queries]).astype(np.uint64)
+                all_hits = sharded_lsh_search(mesh, forest, qmat, args.jsThresh)
+            else:
+                all_hits = [
+                    forest.search(mins, args.jsThresh) for _, mins in queries
+                ]
+            for (name, _), hits in zip(queries, all_hits):
                 if not hits:
                     log.info("\tquery %s: no matches >= %.2f", name, args.jsThresh)
                 for hit, sim in hits:
                     print(f"{name},{hit},{sim:.4f}")
-            log.info("\tsearched %d queries against %d entries", len(queries), len(forest.names))
+            log.info(
+                "\tsearched %d queries against %d entries%s",
+                len(queries), len(forest.names),
+                f" (index sharded over {ndev} devices)" if ndev > 1 else "",
+            )
     except (LSHIndexError, SketchIOError) as e:
         _error_check(str(e))
         return

@@ -123,6 +123,11 @@ class LSHForest:
         base = len(self.names)
         self.names.extend(names)
         self._pending.append(mins)
+        self._insert_band_keys(mins, base)
+
+    def _insert_band_keys(self, mins: np.ndarray, base: int) -> None:
+        """Band-hash `mins` rows and extend the buckets with global ids
+        base..base+N (one argsort per band)."""
         keys = band_keys(mins, self.n_bands, self.band_rows)  # [N, b]
         idx = np.arange(base, base + mins.shape[0], dtype=np.int64)
         for bi in range(self.n_bands):
@@ -216,15 +221,32 @@ class LSHForest:
             n_bands=doc["n_bands"],
             band_rows=doc["band_rows"],
         )
+        n, s = len(doc["names"]), doc["sketch_size"]
         if "mins_b64" in doc:
-            raw = base64.b64decode(doc["mins_b64"])
-            mins = np.frombuffer(raw, dtype="<u8").reshape(
-                len(doc["names"]), doc["sketch_size"]
-            ).astype(np.uint64)
+            # streamed decode: base64 chunks land directly in the final
+            # buffer (no whole-blob bytes + frombuffer + astype triple copy)
+            mins = np.empty((n, s), dtype="<u8")
+            flat = mins.view(np.uint8).reshape(-1)
+            b64 = doc["mins_b64"]
+            CH = 4 << 20  # multiple of 4 -> chunks decode independently
+            pos = off = 0
+            while pos < len(b64):
+                part = base64.b64decode(b64[pos : pos + CH])
+                flat[off : off + len(part)] = np.frombuffer(part, dtype=np.uint8)
+                pos += CH
+                off += len(part)
+            if off != mins.nbytes:
+                raise LSHIndexError(f"index mins payload truncated: {path}")
+            mins = mins.astype(np.uint64, copy=False)  # no-op on little-endian
         else:  # round-1 nested-int-list form
-            mins = np.array(doc["mins"], dtype=np.uint64).reshape(
-                len(doc["names"]), doc["sketch_size"]
-            )
-        if len(doc["names"]):
-            forest.add_batch(doc["names"], mins)
+            mins = np.array(doc["mins"], dtype=np.uint64).reshape(n, s)
+        del doc["mins_b64" if "mins_b64" in doc else "mins"]
+        if n:
+            # set state directly (add_batch would re-buffer + vstack a copy),
+            # banding the rows in bounded chunks
+            forest.names = list(doc["names"])
+            forest.mins = mins
+            CHROWS = 1 << 16
+            for a in range(0, n, CHROWS):
+                forest._insert_band_keys(mins[a : a + CHROWS], a)
         return forest

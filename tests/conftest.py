@@ -14,6 +14,11 @@ os.environ.setdefault(
     "XLA_FLAGS",
     (os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8").strip(),
 )
+# The harness may export JAX_PLATFORMS=<tpu plugin>; cli._apply_platform_env
+# honours that env var, which would silently route CLI-level tests through
+# the real accelerator. Tests are hermetic CPU: override it.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("HULK_PLATFORM", None)
 
 import jax
 
