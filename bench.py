@@ -1,136 +1,249 @@
-"""Benchmark: streaming sketch throughput (reads/s/chip) on the default
+"""Benchmark: END-TO-END sketch throughput (reads/s/chip) on the default
 backend (real TPU under the driver; CPU if forced).
 
-Workload: BASELINE.json config — k=21, s=42, 150 bp synthetic reads,
-spectrum = 21^4 bins. Measures the full device streaming step (minimizer
-extraction + jump-hash binning + histogram accumulate, donated carry) plus
-one final exact host flush, i.e. everything `hulk sketch` does per read.
+Workload: BASELINE.json config — k=21, s=42, 150 bp reads, spectrum = 21^4
+bins. The timed section is the PRODUCTION path, exactly what `hulk sketch`
+runs on a file: gunzip + native FASTQ parse/pack + host->device transfer +
+the fused+Pallas device streaming step + the exact host flush — the same
+in-band costs the Go reference's ~2 min/sample contains (BASELINE.md;
+/root/reference/cmd/sketch.go:65-182 does gzip+parse in-band). A device-only
+number (pre-staged batches, the round-1/2 headline) is reported alongside in
+`extra`, with an all-pairs smash rate (cmd/smash.go:209-224's N^2 loop).
 
-Baseline: the reference repo publishes no v1.0.0 throughput numbers and no Go
-toolchain exists in this image to measure one (BASELINE.md). The denominator
-used here is 20,000 reads/s — a deliberately generous single-core Go HULK
-estimate derived from the paper's ~2 min/sample anchor (~1-5 M reads/sample,
-paper/genome-science-2018-abstract.md) and the per-base work in the Go hot
-loop; it is ~2-6 Mbp/s, at the optimistic end of single-thread Go parsing+
-hashing+map-insert throughput.
+Input: a 1,000,000-read synthetic FASTQ.gz generated once and cached on
+disk (scripts/gen_synth_fastq.py; ~61 MB gz / 313 MB raw).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Exactness precheck: the very step configuration the timed loop runs
+(sketch_stream_step_fused + Pallas minimizer/jump kernels when on TPU) must
+produce a bit-identical histogram AND minimizer count vs the host oracle
+(CPU-jitted scan + NumPy jump-hash spectrum); the result is part of the
+metric string.
+
+Baseline: the reference publishes no v1.0.0 throughput numbers and no Go
+toolchain exists in this image (BASELINE.md). The 20,000 reads/s denominator
+is the measured-anchor estimate (paper's ~2 min/sample); docs/PERF.md's
+derivation brackets ideal single-core Go at <= 250k reads/s, so divide
+vs_baseline by 12.5 for the most Go-favourable bound.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 GO_BASELINE_READS_PER_S = 20_000.0
+GO_CEILING_READS_PER_S = 250_000.0
 
 K, W, S = 21, 9, 42
 NBINS = K ** 4
-R, L = 8192, 160
-N_STEPS = 120  # ~1M reads through one flush cycle, as in streaming use
 READ_LEN = 150
+N_READS = 1_000_000
+BATCH = 8192
+L_BUCKET = 160  # the length bucket 150 bp reads land in
+
+
+def bench_input_path() -> str:
+    cache = os.environ.get(
+        "HULK_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "hulk_tpu"),
+    )
+    os.makedirs(cache, exist_ok=True)
+    path = os.path.join(cache, f"bench_reads_{N_READS}x{READ_LEN}.fq.gz")
+    if not os.path.exists(path):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        from gen_synth_fastq import generate
+
+        t0 = time.perf_counter()
+        generate(path, N_READS, READ_LEN)
+        print(f"# generated {path} in {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+    return path
+
+
+def precheck_production_step(pallas: bool) -> bool:
+    """Bit-compare the PRODUCTION fused(+Pallas) step against the host oracle
+    on one small batch: histogram and distinct-minimizer count."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        fused_bits_ok,
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+    from hulk_tpu.ops.minimizer import minimizer_scan
+    from hulk_tpu.sketch.spectrum import KmerSpectrum
+
+    r = 256
+    rng = np.random.default_rng(7)
+    codes = rng.choice(
+        np.arange(5, dtype=np.uint8), size=(r, L_BUCKET), p=[0.2475] * 4 + [0.01]
+    )
+    codes[:, READ_LEN:] = 5
+    lengths = np.full(r, READ_LEN, dtype=np.int32)
+    assert fused_bits_ok(K, r)
+
+    hist = jnp.zeros((NBINS,), dtype=jnp.int32)
+    count = jnp.zeros((), dtype=jnp.int64)
+    hist, count, _ = sketch_stream_step_fused(
+        hist, count, jax.device_put(codes), jax.device_put(lengths),
+        k=K, w=W, bucket=stream_bucket(r, r * L_BUCKET), pallas=pallas,
+    )
+    dev_hist = np.asarray(hist).astype(np.float64)
+    dev_count = int(count)
+
+    # host oracle on the CPU backend (always present) + NumPy jump binning
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        vals, mask = minimizer_scan(
+            jax.device_put(codes, cpu), jax.device_put(lengths, cpu), k=K, w=W
+        )
+    flat = np.asarray(vals)[np.asarray(mask)]
+    host = KmerSpectrum(NBINS)
+    host.add_hashes(flat)
+    return bool(np.array_equal(dev_hist, host.bins)) and dev_count == flat.shape[0]
+
+
+def run_end_to_end(path: str) -> tuple[float, int, int]:
+    """Timed production pipeline over the on-disk .fq.gz. Returns
+    (seconds, reads, minimizers)."""
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    cfg = SketchConfig(
+        kmer_size=K, window_size=W, sketch_size=S, spectrum_size=NBINS,
+        input_paths=[path], batch_size=BATCH,
+    )
+    t0 = time.perf_counter()
+    res = run_sketch_pipeline(None, cfg)
+    dt = time.perf_counter() - t0
+    return dt, res.seq_count, res.minimizer_count
+
+
+def warmup(path_small: str) -> None:
+    """Compile/caches warmer: one tiny pipeline run through the same code
+    path and shapes as the timed run (XLA compiles once per shape; the
+    persistent compilation cache makes this fast on every bench after the
+    first ever run on a given jaxlib)."""
+    run_end_to_end(path_small)
+
+
+def device_only_rate() -> float:
+    """The round-1/2 style number: pre-staged batches, device step + final
+    exact flush only (excludes parse/pack/H2D)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulk_tpu.hashes.cws import get_cws_tables
+    from hulk_tpu.ops.device_step import (
+        pallas_supported,
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+    from hulk_tpu.sketch.histosketch import HistoSketch
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, (BATCH, L_BUCKET), dtype=np.uint8)
+    codes[:, READ_LEN:] = 5
+    lengths = np.full(BATCH, READ_LEN, dtype=np.int32)
+    dev_codes = jax.device_put(codes)
+    dev_lengths = jax.device_put(lengths)
+    bucket = stream_bucket(BATCH, BATCH * L_BUCKET)
+    pallas = pallas_supported()
+
+    hist = jnp.zeros((NBINS,), dtype=jnp.int32)
+    count = jnp.zeros((), dtype=jnp.int64)
+    hist, count, _ = sketch_stream_step_fused(
+        hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket, pallas=pallas
+    )
+    _ = np.asarray(hist)  # force (block_until_ready does not force via tunnels)
+
+    n_steps = 120
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        hist, count, _ = sketch_stream_step_fused(
+            hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket, pallas=pallas
+        )
+    hb = np.asarray(hist).astype(np.float64)  # forces the whole chain
+    ids = np.nonzero(hb)[0].astype(np.int64)
+    hs = HistoSketch(K, S, NBINS, 1.0, tables=get_cws_tables(S, NBINS))
+    hs.add_elements(ids, hb[ids])
+    dt = time.perf_counter() - t0
+    return n_steps * BATCH / dt
+
+
+def smash_rate() -> float:
+    """All-pairs weighted-Jaccard cells/s on 1024 synthetic sketches via the
+    blocked device kernel (the reference's N^2 scalar loop,
+    cmd/smash.go:209-224, includes both triangles + diagonal; so does this)."""
+    from hulk_tpu.ops.distance import pairwise_weighted_jaccard_dist
+
+    rng = np.random.default_rng(3)
+    n = 1024
+    mins = rng.integers(0, 1 << 40, (n, S), dtype=np.int64)
+    weights = rng.random((n, S)) * 1e-3
+    _ = np.asarray(pairwise_weighted_jaccard_dist(mins[:64], weights[:64]))  # warm
+    t0 = time.perf_counter()
+    d = np.asarray(pairwise_weighted_jaccard_dist(mins, weights))
+    dt = time.perf_counter() - t0
+    assert d.shape == (n, n)
+    return n * n / dt
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     import hulk_tpu._jax_config  # noqa: F401
-    from hulk_tpu.ops.device_step import sketch_accumulate_step
-    from hulk_tpu.sketch.spectrum import KmerSpectrum
 
     backend = jax.default_backend()
-    rng = np.random.default_rng(0)
+    from hulk_tpu.ops.device_step import pallas_supported
 
-    def batch(seed):
-        r = np.random.default_rng(seed)
-        codes = r.integers(0, 4, (R, L), dtype=np.uint8)
-        codes[:, READ_LEN:] = 5
-        lengths = np.full(R, READ_LEN, dtype=np.int32)
-        return codes, lengths
+    pallas = pallas_supported()
 
-    codes, lengths = batch(0)
-    dev_codes = jax.device_put(codes)
-    dev_lengths = jax.device_put(lengths)
+    path = bench_input_path()
 
-    # correctness precheck: device histogram must bit-match the host path
-    small = 64
-    hist0 = jnp.zeros((NBINS,), dtype=jnp.int32)
-    h_dev, n_dev = sketch_accumulate_step(
-        hist0, dev_codes[:small], dev_lengths[:small], k=K, w=W
-    )
-    from hulk_tpu.ops.minimizer import minimizer_scan
+    # warm the compile caches through the SAME code path (tiny input)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    from gen_synth_fastq import generate
 
-    vals, mask = minimizer_scan(codes[:small], lengths[:small], k=K, w=W)
-    host = KmerSpectrum(NBINS)
-    host.add_hashes(np.asarray(vals)[np.asarray(mask)])
-    exact = bool(np.array_equal(np.asarray(h_dev).astype(np.float64), host.bins))
-
-    from hulk_tpu.ops.device_step import (
-        fused_bits_ok,
-        pallas_supported,
-        sketch_stream_step,
-        sketch_stream_step_fused,
-        stream_bucket,
-    )
-
-    BUCKET = stream_bucket(R, R * L)
-    PALLAS = pallas_supported()
-    STEP = sketch_stream_step_fused if fused_bits_ok(K, R) else sketch_stream_step
-
-    def stream_step(hist, count, codes_d, lengths_d):
-        hist, count, _ = STEP(
-            hist, count, codes_d, lengths_d, k=K, w=W, bucket=BUCKET, pallas=PALLAS
-        )
-        return hist, count
-
-    def stream_many(hist, count, batches):
-        """Pure async dispatch: the step has no host syncs (on-device bucket
-        cond + donated carries), so steps pipeline through the tunnel."""
-        for codes_d, lengths_d in batches:
-            hist, count = stream_step(hist, count, codes_d, lengths_d)
-        return hist, count
-
-    # warmup (compile + host flush buffer pools)
-    hist = jnp.zeros((NBINS,), dtype=jnp.int32)
-    count = jnp.zeros((), dtype=jnp.int64)
-    hist, count = stream_step(hist, count, dev_codes, dev_lengths)
-    jax.block_until_ready(hist)
-    from hulk_tpu.hashes.cws import get_cws_tables
-    from hulk_tpu.sketch.histosketch import HistoSketch
-
-    tables = get_cws_tables(S, NBINS)
-    warm_hs = HistoSketch(K, S, NBINS, 1.0, tables=tables)
-    wb = np.asarray(hist).astype(np.float64)
-    wi = np.nonzero(wb)[0].astype(np.int64)
-    warm_hs.add_elements(wi, wb[wi])
-
+    small = os.path.join(os.path.dirname(path), "bench_warmup.fq.gz")
+    if not os.path.exists(small):
+        generate(small, 3 * BATCH, READ_LEN, seed=9)
     t0 = time.perf_counter()
-    batches = [(dev_codes, dev_lengths)] * N_STEPS
-    hist, count = stream_many(hist, count, batches)
-    jax.block_until_ready(hist)
-    n_reads = R * N_STEPS
-    t_stream = time.perf_counter() - t0
+    warmup(small)
+    t_warm = time.perf_counter() - t0
 
-    # final exact flush on host (part of the end-to-end sketch cost)
-    t1 = time.perf_counter()
-    hb = np.asarray(hist).astype(np.float64)
-    ids = np.nonzero(hb)[0].astype(np.int64)
-    hs = HistoSketch(K, S, NBINS, 1.0, tables=tables)
-    hs.add_elements(ids, hb[ids])
-    t_flush = time.perf_counter() - t1
+    exact = precheck_production_step(pallas)
+
+    dt, n_reads, n_min = run_end_to_end(path)
+    e2e = n_reads / dt
+
+    dev_rate = device_only_rate()
+    sm_rate = smash_rate()
 
     print(
-        f"# stream: {t_stream:.2f}s ({n_reads} reads, {int(count)} minimizers), "
-        f"flush: {t_flush:.2f}s ({ids.shape[0]} bins)",
+        f"# warmup(compile): {t_warm:.1f}s; e2e: {dt:.2f}s ({n_reads} reads, "
+        f"{n_min} minimizers); device-only: {dev_rate:,.0f} reads/s; "
+        f"smash: {sm_rate:,.0f} cells/s",
         file=sys.stderr,
     )
-    reads_per_s = n_reads / (t_stream + t_flush)
     result = {
-        "metric": f"reads/s/chip (sketch k={K} s={S}, {READ_LEN}bp, backend={backend}, exact_histogram={exact})",
-        "value": round(reads_per_s, 1),
+        "metric": (
+            f"end-to-end reads/s/chip (hulk sketch k={K} s={S}, {READ_LEN}bp, "
+            f"gzip+parse+pack+H2D+device stream+exact flush, backend={backend}, "
+            f"pallas={pallas}, exact_production_step={exact})"
+        ),
+        "value": round(e2e, 1),
         "unit": "reads/s",
-        "vs_baseline": round(reads_per_s / GO_BASELINE_READS_PER_S, 2),
+        "vs_baseline": round(e2e / GO_BASELINE_READS_PER_S, 2),
+        "extra": {
+            "device_only_reads_per_s": round(dev_rate, 1),
+            "smash_wjd_cells_per_s": round(sm_rate, 1),
+            "vs_go_ceiling_250k": round(e2e / GO_CEILING_READS_PER_S, 2),
+            "warmup_compile_s": round(t_warm, 1),
+            "exact_production_step": exact,
+        },
     }
     print(json.dumps(result))
 

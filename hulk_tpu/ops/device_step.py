@@ -160,6 +160,30 @@ def fused_bits_ok(k: int, r: int) -> bool:
     return (2 * k + 8) + max(r - 1, 1).bit_length() <= 64
 
 
+# ---- 4-bit transfer packing -------------------------------------------------
+#
+# Base codes are 0..5, so two fit in one byte. Host->device bytes are the
+# scarce resource through a remote-device tunnel (the transfer materialises
+# synchronously inside the execution stream), so the host packs [R, L] codes
+# into [R, L/2] nibbles and the step unpacks on device (two shifts + an
+# interleave, trivially fused by XLA before the minimizer scan).
+
+
+def pack_codes4(codes: np.ndarray) -> np.ndarray:
+    """[.., L] u8 codes (0..5, pad 5) -> [.., ceil(L/2)] nibble-packed u8."""
+    if codes.shape[-1] % 2:
+        pad = [(0, 0)] * (codes.ndim - 1) + [(0, 1)]
+        codes = np.pad(codes, pad, constant_values=5)
+    return (codes[..., 0::2] | (codes[..., 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_codes4(packed):
+    """Device-side inverse of pack_codes4 (jnp)."""
+    lo = packed & jnp.uint8(0xF)
+    hi = packed >> jnp.uint8(4)
+    return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
+
+
 @partial(jax.jit, static_argnames=("vbits", "pallas"), donate_argnums=(0,))
 def bin_scatter_keys(hist, skeys, *, vbits: int, pallas: bool = False):
     """Bin a compacted slice of sorted (read_id << vbits | value) keys,
@@ -240,20 +264,26 @@ def bottom_k_values(vals_flat, s: int):
     return jnp.where(asc == big, _U64SENT, asc.astype(jnp.uint64))
 
 
-@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas", "packed4"),
+         donate_argnums=(0, 1))
 def sketch_stream_step_fused(hist, count, codes, lengths, *, k: int, w: int,
-                             bucket: int, pallas: bool = False):
+                             bucket: int, pallas: bool = False,
+                             packed4: bool = False):
     """Single-sort streaming step (see module comment). Bit-equal histogram
     and count to sketch_stream_step; the returned distinct-value stream is
-    read-grouped rather than value-sorted."""
+    read-grouped rather than value-sorted. packed4=True takes nibble-packed
+    codes ([R, L/2], see pack_codes4) and unpacks on device."""
+    if packed4:
+        codes = unpack_codes4(codes)
     return stream_step_fused_body(
         hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
     )
 
 
-@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas"), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas", "packed4"),
+         donate_argnums=(0, 1))
 def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: int,
-                       pallas: bool = False):
+                       pallas: bool = False, packed4: bool = False):
     """One fully-device streaming step with NO host synchronisation.
 
     The compacted path (device_step module docstring) needs the live-lane
@@ -267,6 +297,8 @@ def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: i
     Returns (hist, count, svals) — svals (sorted, sentinel-padded) feeds the
     KMV/KHF/HMH device updates without recomputing the scan.
     """
+    if packed4:
+        codes = unpack_codes4(codes)
     return stream_step_body(
         hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
     )

@@ -168,9 +168,14 @@ class _DeviceStream:
             return
         import jax
 
+        from hulk_tpu.ops.device_step import pack_codes4
+
         staged, self._staged = self._staged, []
         g = len(staged)
-        codes3 = jax.device_put(np.stack([b.codes for b in staged]))
+        # nibble-pack before the transfer: host->device bytes are the scarce
+        # resource through a remote-device tunnel (2 codes/byte, unpacked on
+        # device inside the step)
+        codes3 = jax.device_put(pack_codes4(np.stack([b.codes for b in staged])))
         lengths2 = jax.device_put(np.stack([b.lengths for b in staged]))
         for i in range(g):
             self._step(codes3[i], lengths2[i], staged[i].codes.shape)
@@ -187,6 +192,7 @@ class _DeviceStream:
 
         cfg = self.cfg
         r, l = shape
+        l += l % 2  # pack_codes4 pads odd lengths
         # fused single-sort step when the read id packs above the value bits;
         # KMV's value-sorted prefix then comes from a bottom-k pass
         fused = fused_bits_ok(cfg.kmer_size, r)
@@ -200,6 +206,7 @@ class _DeviceStream:
             w=cfg.window_size,
             bucket=stream_bucket(r, r * l),
             pallas=self.pallas,
+            packed4=True,
         )
         if self.kmv_state is not None:
             kmv_in = (

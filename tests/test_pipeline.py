@@ -277,3 +277,50 @@ def test_bottom_k_values():
     exp = live[:16]
     assert np.array_equal(out[: exp.shape[0]], exp)
     assert (out[exp.shape[0]:] == U).all()
+
+
+def test_packed4_step_matches_unpacked():
+    """The nibble-packed transfer form (pack_codes4 + packed4=True) must be
+    bit-identical to the raw-codes step — histogram, count, and value
+    stream — including odd padded lengths."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hulk_tpu.ops.device_step import (
+        pack_codes4,
+        sketch_stream_step,
+        sketch_stream_step_fused,
+        stream_bucket,
+        unpack_codes4,
+    )
+    from hulk_tpu.ops.encode import pack_reads
+
+    rng = np.random.default_rng(5)
+    K, W, NBINS = 11, 7, 11 ** 4
+    for L in (160, 159):  # even and odd bucket widths
+        seqs = [
+            bytes(rng.choice(list(b"ACGTN"), size=int(rng.integers(K + W - 1, L)),
+                             p=[0.24] * 4 + [0.04]).tolist())
+            for _ in range(48)
+        ]
+        packed = pack_reads(seqs, pad_to=L, n_reads=48)
+        p4 = pack_codes4(packed.codes)
+        assert np.array_equal(
+            np.asarray(unpack_codes4(jnp.asarray(p4)))[:, :L], packed.codes
+        )
+        bucket = stream_bucket(48, 48 * (L + L % 2))
+        for step in (sketch_stream_step, sketch_stream_step_fused):
+            h1, c1, sv1 = step(
+                jnp.zeros(NBINS, dtype=jnp.int32), jnp.zeros((), dtype=jnp.int64),
+                packed.codes, packed.lengths, k=K, w=W, bucket=bucket,
+            )
+            h2, c2, sv2 = step(
+                jnp.zeros(NBINS, dtype=jnp.int32), jnp.zeros((), dtype=jnp.int64),
+                p4, packed.lengths, k=K, w=W, bucket=bucket, packed4=True,
+            )
+            assert np.array_equal(np.asarray(h1), np.asarray(h2)), (L, step)
+            assert int(c1) == int(c2)
+            U = np.uint64(0xFFFFFFFFFFFFFFFF)
+            a = np.asarray(sv1); a = np.sort(a[a != U])
+            b = np.asarray(sv2); b = np.sort(b[b != U])
+            assert np.array_equal(a, b)
