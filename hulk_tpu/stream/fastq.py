@@ -24,6 +24,52 @@ class FastqError(ValueError):
     pass
 
 
+def prefetch_batches(batches, depth: int = 16):
+    """Run a batch iterator in a background thread with a bounded queue.
+
+    The host input path (gunzip + parse + pack, all GIL-releasing) then
+    overlaps the device stream dispatch instead of serialising with it —
+    the reference gets the same overlap from its DataStreamer/FastqHandler
+    goroutines (src/pipeline/pipeline.go:61-70). Exceptions raised by the
+    producer propagate to the consumer; the producer stops if the consumer
+    abandons the iterator.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for b in batches:
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            q.put(done)
+        except BaseException as e:  # propagate to the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True, name="hulk-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def _open_lines(path: str) -> Iterator[bytes]:
     fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
     with fh:
@@ -137,15 +183,21 @@ def batch_reads_native(
             yield from finish(codes[start : start + take], lengths[start : start + take])
             start += take
 
-    for p in paths:
-        fh = gzip.open(p, "rb") if p.endswith(".gz") else open(p, "rb")
+    def chunks_of(path):
+        fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
         with fh:
             while True:
                 chunk = fh.read(1 << 22)
                 if not chunk:
-                    break
-                for codes, lengths in packer.feed(chunk):
-                    yield from splits(codes, lengths)
+                    return
+                yield chunk
+
+    for p in paths:
+        # decompression in its own thread (zlib releases the GIL), overlapped
+        # with native packing here
+        for chunk in prefetch_batches(chunks_of(p), depth=4):
+            for codes, lengths in packer.feed(chunk):
+                yield from splits(codes, lengths)
         try:
             tail = packer.end_of_file()
         except ValueError as e:

@@ -26,7 +26,7 @@ from hulk_tpu.sketch.histosketch import HistoSketch
 from hulk_tpu.sketch.hyperminhash import HyperMinHash
 from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
 from hulk_tpu.sketch.spectrum import KmerSpectrum
-from hulk_tpu.stream.fastq import batch_reads, batch_reads_native
+from hulk_tpu.stream.fastq import batch_reads, batch_reads_native, prefetch_batches
 
 log = logging.getLogger("hulk")
 
@@ -67,52 +67,6 @@ class SketchResult:
 
 class PipelineError(ValueError):
     pass
-
-
-def prefetch_batches(batches, depth: int = 4):
-    """Run a batch iterator in a background thread with a bounded queue.
-
-    The host input path (gunzip + parse + pack, all GIL-releasing) then
-    overlaps the device stream dispatch instead of serialising with it —
-    the reference gets the same overlap from its DataStreamer/FastqHandler
-    goroutines (src/pipeline/pipeline.go:61-70). Exceptions raised by the
-    producer propagate to the consumer; the producer stops if the consumer
-    abandons the iterator.
-    """
-    import queue
-    import threading
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    done = object()
-    stop = threading.Event()
-
-    def worker():
-        try:
-            for b in batches:
-                while not stop.is_set():
-                    try:
-                        q.put(b, timeout=0.2)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
-                    return
-            q.put(done)
-        except BaseException as e:  # propagate to the consumer
-            q.put(e)
-
-    t = threading.Thread(target=worker, daemon=True, name="hulk-prefetch")
-    t.start()
-    try:
-        while True:
-            item = q.get()
-            if item is done:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-    finally:
-        stop.set()
 
 
 class _DeviceStream:
