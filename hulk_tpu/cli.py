@@ -404,10 +404,13 @@ def _apply_platform_env() -> None:
 def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
     """[N, N] distance matrix via the blocked device kernels.
 
-    The weighted kernel's compensated-f32 sums carry ~2^-45 relative error;
-    any cell within 1e-5 of a %.2f rounding boundary is recomputed through
-    the bit-exact host path, so the CSV this feeds is provably identical to
-    an all-host run (expected fixups: ~2e-5 of cells)."""
+    The weighted kernel accumulates in f64 via a lax.scan of masked
+    elementwise adds (ops/distance.py); it reassociates the reference's
+    left-to-right sum, so cells differ by at most ~1e-15 relative. Any cell
+    within 1e-5 of a %.2f rounding boundary (>10 orders of magnitude of
+    slack) is recomputed through the bit-exact host path, so the CSV this
+    feeds is provably identical to an all-host run (expected fixups: ~2e-5
+    of cells)."""
     import numpy as np
 
     objs = [sketches[f].find_sketch(ksize, algo) for f in ordering]
