@@ -50,6 +50,7 @@ def make_sharded_stream_step(
     use_khf: bool = False,
     use_hmh: bool = False,
     hmh_pqr: tuple | None = None,
+    packed4: bool = False,
 ):
     """Data-parallel production stream step: reads sharded over dp, each
     shard maintaining its OWN histogram/count/secondary-sketch carries — no
@@ -74,6 +75,10 @@ def make_sharded_stream_step(
 
     def local_step(hist, count, codes, lengths, kmv, khf, hmh):
         hist, count, kmv, khf, hmh = hist[0], count[0], kmv[0], khf[0], hmh[0]
+        if packed4:
+            from hulk_tpu.ops.device_step import unpack_codes4
+
+            codes = unpack_codes4(codes)
         fused = fused_bits_ok(k, codes.shape[0])
         body = stream_step_fused_body if fused else stream_step_body
         hist, count, svals = body(

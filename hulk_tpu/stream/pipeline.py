@@ -321,20 +321,25 @@ class _ShardedDeviceStream:
         )
         self.pallas = pallas_supported()
         self._steps: dict = {}
+        self._staged: list = []
         self._mkstep = lambda r, l: make_sharded_stream_step(
             self.mesh,
             k=cfg.kmer_size,
             w=cfg.window_size,
-            bucket=stream_bucket(r // ndev, (r // ndev) * l),
+            bucket=stream_bucket(r // ndev, (r // ndev) * (l + l % 2)),
             pallas=self.pallas,
             use_kmv=cfg.kmv,
             use_khf=cfg.khf,
             use_hmh=cfg.hmh,
             hmh_pqr=hmh_pqr,
+            packed4=True,
         )
 
+    GROUP = _DeviceStream.GROUP
+
     def feed(self, batch) -> None:
-        import jax
+        """Stage one batch (rows padded to a dp multiple); transfers happen
+        per GROUP like the single-device stream (same tunnel economics)."""
         import numpy as np_
 
         codes, lengths = batch.codes, batch.lengths
@@ -345,24 +350,51 @@ class _ShardedDeviceStream:
                 [codes, np_.full((pad, l), 5, dtype=codes.dtype)]
             )
             lengths = np_.concatenate([lengths, np_.zeros(pad, dtype=lengths.dtype)])
-            r += pad
+        if self._staged and self._staged[0][0].shape != codes.shape:
+            self._dispatch_group()
+        self._staged.append((codes, lengths))
+        if len(self._staged) >= self.GROUP:
+            self._dispatch_group()
+
+    def _dispatch_group(self) -> None:
+        if not self._staged:
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hulk_tpu.ops.device_step import pack_codes4
+
+        staged, self._staged = self._staged, []
+        r, l = staged[0][0].shape
         step = self._steps.get((r, l))
         if step is None:
             step = self._steps[(r, l)] = self._mkstep(r, l)
-        dc = jax.device_put(codes, self._shard2d)
-        dl = jax.device_put(lengths, self._shard1d)
-        self.hist, self.count, self.kmv_state, self.khf_state, self.hmh_regs = step(
-            self.hist, self.count, dc, dl,
-            self.kmv_state, self.khf_state, self.hmh_regs,
+        codes3 = jax.device_put(
+            pack_codes4(np.stack([c for c, _ in staged])),
+            NamedSharding(self.mesh, P(None, "dp", None)),
         )
+        lengths2 = jax.device_put(
+            np.stack([ln for _, ln in staged]),
+            NamedSharding(self.mesh, P(None, "dp")),
+        )
+        for i in range(len(staged)):
+            (
+                self.hist, self.count, self.kmv_state, self.khf_state,
+                self.hmh_regs,
+            ) = step(
+                self.hist, self.count, codes3[i], lengths2[i],
+                self.kmv_state, self.khf_state, self.hmh_regs,
+            )
 
     def minimizer_total(self) -> int:
+        self._dispatch_group()
         return int(np.asarray(self.count).sum())
 
     def drain_into(self, spectrum) -> None:
         import jax
         import jax.numpy as jnp
 
+        self._dispatch_group()
         h = np.asarray(self.hist).astype(np.int64).sum(axis=0).astype(np.float64)
         if h.any():
             spectrum.add_dense(h)
@@ -374,6 +406,7 @@ class _ShardedDeviceStream:
         """Merge per-shard device states into the host objects (exact:
         bottom-k union / elementwise min / register max — also preserves
         resumed-from-checkpoint host state)."""
+        self._dispatch_group()
         sent = np.uint64(0xFFFFFFFFFFFFFFFF)
         if kmv is not None:
             vals = np.sort(
