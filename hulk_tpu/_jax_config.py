@@ -13,10 +13,18 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: TPU compiles of the 64-bit integer kernels
-# are expensive (minutes); cache them across processes/runs.
-_cache_dir = os.environ.get(
-    "HULK_TPU_JAX_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "hulk_tpu", "jax_cache"),
+# are expensive (minutes); cache them across processes/runs. A repo-local
+# cache (checked into git, next to the package) takes priority over the
+# home-dir one: benchmark environments are recreated from a fresh checkout
+# with an empty $HOME cache, and shipping the warmed cache with the source
+# is the only way a cold process in a cold environment starts warm.
+_repo_cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+_cache_dir = os.environ.get("HULK_TPU_JAX_CACHE") or (
+    _repo_cache
+    if os.path.isdir(_repo_cache)
+    else os.path.join(os.path.expanduser("~"), ".cache", "hulk_tpu", "jax_cache")
 )
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -304,6 +304,85 @@ def sketch_stream_step(hist, count, codes, lengths, *, k: int, w: int, bucket: i
     )
 
 
+# ---- grouped single-transfer streaming -------------------------------------
+#
+# The remote-device tunnel charges ~80 ms of fixed latency per host->device
+# transfer (measured; independent of payload) and compresses payloads to
+# near-entropy on the wire (nibble-packed DNA moves ~3x faster than random
+# bytes). The scarce resources are therefore TRANSFER COUNT and entropy, not
+# payload bytes. This path ships one transfer group (G batches) as a SINGLE
+# flat uint8 buffer — nibble-packed codes + uint16 lengths back-to-back — and
+# consumes it with ONE jitted lax.scan over the G sub-batches, so a group
+# costs one transfer + one dispatch instead of 2 transfers + G dispatches.
+
+
+def build_group_buffer(codes_list, lengths_list) -> np.ndarray:
+    """Host side: [G][R, L] u8 codes + [G][R] i32 lengths -> one flat u8
+    buffer of nibble-packed codes followed by little-endian u16 lengths.
+    Lengths always fit u16: reads at 65536+ are rejected upstream
+    (stream/fastq.batch_reads_native max_read_len)."""
+    packed = pack_codes4(np.stack(codes_list))
+    lens = np.stack(lengths_list).astype("<u2")
+    return np.concatenate([packed.reshape(-1), lens.view(np.uint8).reshape(-1)])
+
+
+def _group_views(flatbuf, g: int, r: int, l: int):
+    """Device side: slice the flat buffer back into packed codes + lengths."""
+    l2 = (l + l % 2) // 2
+    ncodes = g * r * l2
+    codes = jax.lax.slice(flatbuf, (0,), (ncodes,)).reshape(g, r, l2)
+    lraw = jax.lax.slice(flatbuf, (ncodes,), (ncodes + g * r * 2,))
+    lengths = jax.lax.bitcast_convert_type(
+        lraw.reshape(g, r, 2), jnp.uint16
+    ).astype(jnp.int32)
+    return codes, lengths
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "g", "r", "l", "k", "w", "bucket", "pallas",
+        "use_kmv", "use_khf", "use_hmh", "hmh_pqr",
+    ),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
+                             r: int, l: int, k: int, w: int, bucket: int,
+                             pallas: bool = False, use_kmv: bool = False,
+                             use_khf: bool = False, use_hmh: bool = False,
+                             hmh_pqr=None):
+    """One transfer group of G sub-batches as a single dispatch.
+
+    Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
+    hmh [m] u64 (dummy [1] arrays when the corresponding flag is off).
+    Bit-equal to G calls of sketch_stream_step_fused + the device sketch
+    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r)."""
+    from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
+
+    codes, lengths = _group_views(flatbuf, g, r, l)
+
+    def body(carry, xs):
+        hist, count, kmv, khf, hmh = carry
+        codes_g, len_g = xs
+        hist, count, svals = stream_step_fused_body(
+            hist, count, unpack_codes4(codes_g), len_g,
+            k=k, w=w, bucket=bucket, pallas=pallas,
+        )
+        if use_kmv:
+            kmv = kmv_update(kmv, bottom_k_values(svals, kmv.shape[0]))
+        if use_khf:
+            khf = khf_update(khf, svals)
+        if use_hmh:
+            p_, q_, r_ = hmh_pqr
+            hmh = hmh_update(hmh, svals, p=p_, q=q_, r=r_)
+        return (hist, count, kmv, khf, hmh), None
+
+    (hist, count, kmv, khf, hmh), _ = jax.lax.scan(
+        body, (hist, count, kmv, khf, hmh), (codes, lengths)
+    )
+    return hist, count, kmv, khf, hmh
+
+
 # The device-resident flush (CMS + CWS scan over a dense histogram) lives in
 # parallel/mesh.sharded_flush_step — it is the single implementation, usable
 # on a 1-device mesh for the unsharded case.

@@ -76,15 +76,18 @@ class _DeviceStream:
     interval boundaries pull the (small) histogram to the host for the exact
     flush. Bit-matches the host path (integer-exact ops throughout).
 
-    Batches are staged host-side in groups of GROUP and shipped as ONE
-    [G, R, L] transfer, with sub-batches indexed on device. Remote-tunnel
-    runtimes (axon) materialise each host->device transfer synchronously
-    inside the execution stream, so per-batch transfers cost a round trip
-    per step (measured ~1-3.5 s/step under load vs ~6 ms for device-resident
-    inputs); one grouped transfer amortises that across GROUP steps.
+    Batches are staged host-side in groups of GROUP and shipped as ONE flat
+    uint8 transfer (nibble-packed codes + u16 lengths), consumed by a single
+    jitted lax.scan over the sub-batches. Remote-tunnel runtimes (axon)
+    charge ~80 ms of fixed latency per transfer regardless of size and
+    compress payloads to near-entropy on the wire, so transfer COUNT — not
+    payload bytes — is the scarce resource; one buffer per group plus one
+    dispatch per group amortises it 2*GROUP-fold. Tail groups are padded to
+    GROUP with dead batches (all-pad codes, length 0 — inert in every
+    kernel) so each (R, L) shape compiles exactly once.
     """
 
-    GROUP = 8
+    GROUP = 32
 
     def __init__(self, cfg: SketchConfig, nbins: int):
         import jax.numpy as jnp
@@ -97,13 +100,19 @@ class _DeviceStream:
         self.hist = jnp.zeros(nbins, dtype=jnp.int32)
         self.count = jnp.zeros((), dtype=jnp.int64)
         s = cfg.sketch_size
-        self.kmv_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.kmv else None
-        self.khf_state = jnp.full(s, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64) if cfg.khf else None
-        self.hmh_regs = None
+        sent = 0xFFFFFFFFFFFFFFFF
+        # dummy [1] carries when a sketch is off: the grouped step carries
+        # them through the scan untouched (donated either way)
+        self.kmv_state = jnp.full(s if cfg.kmv else 1, sent, dtype=jnp.uint64)
+        self.khf_state = jnp.full(s if cfg.khf else 1, sent, dtype=jnp.uint64)
+        m = 1
+        self.hmh_pqr = None
         if cfg.hmh:
-            from hulk_tpu.sketch.hyperminhash import DEFAULT_P
+            from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
 
-            self.hmh_regs = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
+            self.hmh_pqr = (DEFAULT_P, DEFAULT_Q, DEFAULT_R)
+            m = 1 << DEFAULT_P
+        self.hmh_regs = jnp.zeros(m, dtype=jnp.uint64)
         self._staged: list = []  # host batches awaiting a grouped transfer
 
     def feed(self, batch) -> None:
@@ -122,17 +131,47 @@ class _DeviceStream:
             return
         import jax
 
-        from hulk_tpu.ops.device_step import pack_codes4
+        from hulk_tpu.ops.device_step import (
+            build_group_buffer,
+            fused_bits_ok,
+            pack_codes4,
+            sketch_stream_group_step,
+            stream_bucket,
+        )
 
         staged, self._staged = self._staged, []
-        g = len(staged)
-        # nibble-pack before the transfer: host->device bytes are the scarce
-        # resource through a remote-device tunnel (2 codes/byte, unpacked on
-        # device inside the step)
-        codes3 = jax.device_put(pack_codes4(np.stack([b.codes for b in staged])))
-        lengths2 = jax.device_put(np.stack([b.lengths for b in staged]))
-        for i in range(g):
-            self._step(codes3[i], lengths2[i], staged[i].codes.shape)
+        cfg = self.cfg
+        r, l = staged[0].codes.shape
+        if not fused_bits_ok(cfg.kmer_size, r):
+            # large-k fallback: read ids don't pack above the value bits, so
+            # the scan-fused group step (single-sort dedup) is unavailable
+            codes3 = jax.device_put(
+                pack_codes4(np.stack([b.codes for b in staged]))
+            )
+            lengths2 = jax.device_put(np.stack([b.lengths for b in staged]))
+            for i in range(len(staged)):
+                self._step(codes3[i], lengths2[i], staged[i].codes.shape)
+            return
+        codes_list = [b.codes for b in staged]
+        lengths_list = [b.lengths for b in staged]
+        pad = self.GROUP - len(staged)
+        if pad:
+            dead_c = np.full((r, l), 5, dtype=np.uint8)
+            dead_l = np.zeros(r, dtype=np.int32)
+            codes_list += [dead_c] * pad
+            lengths_list += [dead_l] * pad
+        flatbuf = jax.device_put(build_group_buffer(codes_list, lengths_list))
+        (
+            self.hist, self.count, self.kmv_state, self.khf_state,
+            self.hmh_regs,
+        ) = sketch_stream_group_step(
+            self.hist, self.count, self.kmv_state, self.khf_state,
+            self.hmh_regs, flatbuf,
+            g=self.GROUP, r=r, l=l, k=cfg.kmer_size, w=cfg.window_size,
+            bucket=stream_bucket(r, r * (l + l % 2)), pallas=self.pallas,
+            use_kmv=cfg.kmv, use_khf=cfg.khf, use_hmh=cfg.hmh,
+            hmh_pqr=self.hmh_pqr,
+        )
 
     def _step(self, codes, lengths, shape) -> None:
         from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
@@ -162,19 +201,16 @@ class _DeviceStream:
             pallas=self.pallas,
             packed4=True,
         )
-        if self.kmv_state is not None:
+        if cfg.kmv:
             kmv_in = (
                 bottom_k_values(svals, cfg.sketch_size) if fused else svals
             )
             self.kmv_state = kmv_update(self.kmv_state, kmv_in)
-        if self.khf_state is not None:
+        if cfg.khf:
             self.khf_state = khf_update(self.khf_state, svals)
-        if self.hmh_regs is not None:
-            from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
-
-            self.hmh_regs = hmh_update(
-                self.hmh_regs, svals, p=DEFAULT_P, q=DEFAULT_Q, r=DEFAULT_R
-            )
+        if cfg.hmh:
+            p_, q_, r_ = self.hmh_pqr
+            self.hmh_regs = hmh_update(self.hmh_regs, svals, p=p_, q=q_, r=r_)
 
     def minimizer_total(self) -> int:
         self._dispatch_group()
@@ -539,7 +575,9 @@ def run_sketch_pipeline(
         batches = _skip_resumed(batches, resume_base)
 
     if dev is not None:
-        batches = prefetch_batches(batches)
+        # queue depth covers a full transfer group plus the next one being
+        # produced, so group staging never starves the device dispatch
+        batches = prefetch_batches(batches, depth=2 * type(dev).GROUP)
 
     # Interval flushes on the device path run in a single background worker:
     # the host CWS/CMS scan (native, exact) overlaps the next interval's

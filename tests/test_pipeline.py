@@ -324,3 +324,74 @@ def test_packed4_step_matches_unpacked():
             a = np.asarray(sv1); a = np.sort(a[a != U])
             b = np.asarray(sv2); b = np.sort(b[b != U])
             assert np.array_equal(a, b)
+
+
+def test_group_step_matches_per_batch_steps():
+    """The grouped single-transfer scan step (one flat u8 buffer, one
+    dispatch) must be bit-identical to G sequential fused steps plus the
+    device KMV/KHF/HMH updates, including dead padding sub-batches."""
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
+    from hulk_tpu.ops.device_step import (
+        bottom_k_values,
+        build_group_buffer,
+        fused_bits_ok,
+        pack_codes4,
+        sketch_stream_group_step,
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+    from hulk_tpu.ops.encode import pack_reads
+    from hulk_tpu.sketch.hyperminhash import DEFAULT_P, DEFAULT_Q, DEFAULT_R
+
+    rng = np.random.default_rng(5)
+    K, W, NBINS, S_SK = 11, 5, 11 ** 4, 8
+    R, L, G = 32, 96, 4
+    assert fused_bits_ok(K, R)
+    bucket = stream_bucket(R, R * L)
+    sent = 0xFFFFFFFFFFFFFFFF
+
+    batches = []
+    for _ in range(G - 1):  # one dead pad batch exercises tail padding
+        seqs = [
+            bytes(rng.choice(list(b"ACGTN"), size=int(rng.integers(K + W - 1, L)),
+                             p=[0.24] * 4 + [0.04]).tolist())
+            for _ in range(R)
+        ]
+        batches.append(pack_reads(seqs, pad_to=L, n_reads=R))
+    codes_list = [b.codes for b in batches] + [np.full((R, L), 5, np.uint8)]
+    lengths_list = [b.lengths for b in batches] + [np.zeros(R, np.int32)]
+
+    # reference: per-batch fused steps + device sketch updates
+    h = jnp.zeros(NBINS, dtype=jnp.int32)
+    c = jnp.zeros((), dtype=jnp.int64)
+    kmv = jnp.full(S_SK, sent, dtype=jnp.uint64)
+    khf = jnp.full(S_SK, sent, dtype=jnp.uint64)
+    hmh = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
+    for codes, lengths in zip(codes_list, lengths_list):
+        h, c, sv = sketch_stream_step_fused(
+            h, c, jnp.asarray(pack_codes4(codes)), jnp.asarray(lengths),
+            k=K, w=W, bucket=bucket, packed4=True,
+        )
+        kmv = kmv_update(kmv, bottom_k_values(sv, S_SK))
+        khf = khf_update(khf, sv)
+        hmh = hmh_update(hmh, sv, p=DEFAULT_P, q=DEFAULT_Q, r=DEFAULT_R)
+
+    # grouped: one buffer, one dispatch
+    h2 = jnp.zeros(NBINS, dtype=jnp.int32)
+    c2 = jnp.zeros((), dtype=jnp.int64)
+    kmv2 = jnp.full(S_SK, sent, dtype=jnp.uint64)
+    khf2 = jnp.full(S_SK, sent, dtype=jnp.uint64)
+    hmh2 = jnp.zeros(1 << DEFAULT_P, dtype=jnp.uint64)
+    buf = jnp.asarray(build_group_buffer(codes_list, lengths_list))
+    h2, c2, kmv2, khf2, hmh2 = sketch_stream_group_step(
+        h2, c2, kmv2, khf2, hmh2, buf, g=G, r=R, l=L, k=K, w=W,
+        bucket=bucket, use_kmv=True, use_khf=True, use_hmh=True,
+        hmh_pqr=(DEFAULT_P, DEFAULT_Q, DEFAULT_R),
+    )
+    assert np.array_equal(np.asarray(h), np.asarray(h2))
+    assert int(c) == int(c2)
+    assert np.array_equal(np.asarray(kmv), np.asarray(kmv2))
+    assert np.array_equal(np.asarray(khf), np.asarray(khf2))
+    assert np.array_equal(np.asarray(hmh), np.asarray(hmh2))
