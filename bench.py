@@ -191,17 +191,127 @@ def smash_rate() -> float:
     return n * n / dt
 
 
+_STAGE_PREFIX = "HULK_BENCH_STAGE "
+
+
+def _stage(name: str) -> None:
+    print(_STAGE_PREFIX + name, file=sys.stderr, flush=True)
+
+
+# Max seconds from the PREVIOUS stage mark to this one. The remote-TPU
+# tunnel client occasionally wedges (all threads futex-parked, ~0 CPU,
+# forever) during backend init or the first device ops; a healthy run
+# clears every stage far inside these allowances — warmup's covers a
+# fully cold XLA compile (measured 317 s without the shipped cache).
+_STAGE_ALLOWANCE = {
+    "backend_ok": 150.0,
+    "input_ready": 300.0,  # may generate the 1M-read input (~10 s)
+    "warmup_done": 420.0,
+    "precheck_done": 240.0,
+    "e2e_0": 240.0,
+    "e2e_1": 120.0,
+    "e2e_2": 120.0,
+    "device_only_done": 300.0,
+    "smash_done": 240.0,
+    "_exit": 120.0,
+}
+_STAGE_ORDER = list(_STAGE_ALLOWANCE)
+
+
+def supervise() -> int:
+    """Run the real bench in a child process with per-stage progress
+    deadlines, retrying the known flaky failure mode (wedged tunnel client).
+    Stage allowances are generous enough that a legitimately slow cold
+    compile is never killed; a wedge stops producing marks and is retried
+    in a fresh process (fresh tunnel connection) up to 4 times.
+    """
+    import subprocess
+    import threading
+
+    for attempt in range(4):
+        env = dict(os.environ, HULK_BENCH_CHILD="1")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        state = {"idx": 0, "deadline": time.monotonic() + _STAGE_ALLOWANCE["backend_ok"]}
+
+        def pump_stderr():
+            for line in proc.stderr:
+                if line.startswith(_STAGE_PREFIX):
+                    name = line[len(_STAGE_PREFIX):].strip()
+                    if name in _STAGE_ORDER:
+                        i = _STAGE_ORDER.index(name) + 1
+                        state["idx"] = i
+                        if i < len(_STAGE_ORDER):
+                            state["deadline"] = time.monotonic() + _STAGE_ALLOWANCE[
+                                _STAGE_ORDER[i]
+                            ]
+                    continue
+                sys.stderr.write(line)
+                sys.stderr.flush()
+
+        t = threading.Thread(target=pump_stderr, daemon=True)
+        t.start()
+
+        def child_cpu_s() -> float:
+            try:
+                with open(f"/proc/{proc.pid}/stat") as fh:
+                    parts = fh.read().rsplit(") ", 1)[1].split()
+                return (int(parts[11]) + int(parts[12])) / os.sysconf("SC_CLK_TCK")
+            except (OSError, IndexError, ValueError):
+                return -1.0
+
+        rc = None
+        cpu_mark = (time.monotonic(), child_cpu_s(), state["idx"])
+        while True:
+            try:
+                rc = proc.wait(timeout=1.0)
+                break
+            except subprocess.TimeoutExpired:
+                now = time.monotonic()
+                # fast wedge detector: a wedged tunnel client accrues ~0 CPU
+                # (all threads futex-parked); anything healthy — including a
+                # local cold compile — burns CPU continuously. Remote Pallas
+                # compiles can idle the local CPU, so the window is generous.
+                cpu = child_cpu_s()
+                if state["idx"] != cpu_mark[2] or (cpu >= 0 and cpu - cpu_mark[1] > 1.0):
+                    cpu_mark = (now, cpu, state["idx"])
+                wedged_cpu = cpu >= 0 and now - cpu_mark[0] > 120.0
+                if wedged_cpu or now > state["deadline"]:
+                    nxt = _STAGE_ORDER[min(state["idx"], len(_STAGE_ORDER) - 1)]
+                    why = "CPU-idle 120s" if wedged_cpu else "stage allowance"
+                    print(
+                        f"# attempt {attempt}: no progress toward stage "
+                        f"'{nxt}' ({why}); child wedged — killing and "
+                        "retrying", file=sys.stderr,
+                    )
+                    proc.kill()
+                    proc.wait()
+                    break
+        t.join(timeout=5.0)
+        out = proc.stdout.read()
+        if rc is not None:
+            sys.stdout.write(out)
+            sys.stdout.flush()
+            return rc
+    print("# bench: child wedged on all attempts", file=sys.stderr)
+    return 1
+
+
 def main() -> None:
     import jax
 
     import hulk_tpu._jax_config  # noqa: F401
 
     backend = jax.default_backend()
+    _stage("backend_ok")
     from hulk_tpu.ops.device_step import pallas_supported
 
     pallas = pallas_supported()
 
     path = bench_input_path()
+    _stage("input_ready")
 
     # warm the compile caches through the SAME code path (tiny input)
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
@@ -213,17 +323,30 @@ def main() -> None:
     t0 = time.perf_counter()
     warmup(small)
     t_warm = time.perf_counter() - t0
+    _stage("warmup_done")
 
     exact = precheck_production_step(pallas)
+    _stage("precheck_done")
 
-    dt, n_reads, n_min = run_end_to_end(path)
+    # best-of-3: the tunnel's wire bandwidth swings run to run (measured
+    # 15-70 MB/s), so a single window is at its mercy; the best window is
+    # the honest measure of the pipeline itself and all trials are reported
+    trials = []
+    for i in range(3):
+        dt_i, n_reads, n_min = run_end_to_end(path)
+        trials.append(dt_i)
+        _stage(f"e2e_{i}")
+    dt = min(trials)
     e2e = n_reads / dt
 
     dev_rate = device_only_rate()
+    _stage("device_only_done")
     sm_rate = smash_rate()
+    _stage("smash_done")
 
     print(
-        f"# warmup(compile): {t_warm:.1f}s; e2e: {dt:.2f}s ({n_reads} reads, "
+        f"# warmup(compile): {t_warm:.1f}s; e2e best-of-3: {dt:.2f}s "
+        f"(trials {['%.2f' % t for t in trials]}; {n_reads} reads, "
         f"{n_min} minimizers); device-only: {dev_rate:,.0f} reads/s; "
         f"smash: {sm_rate:,.0f} cells/s",
         file=sys.stderr,
@@ -243,10 +366,15 @@ def main() -> None:
             "vs_go_ceiling_250k": round(e2e / GO_CEILING_READS_PER_S, 2),
             "warmup_compile_s": round(t_warm, 1),
             "exact_production_step": exact,
+            "e2e_trials_s": [round(t, 2) for t in trials],
+            "e2e_worst_reads_per_s": round(n_reads / max(trials), 1),
         },
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HULK_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(supervise())
