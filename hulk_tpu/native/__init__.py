@@ -41,7 +41,7 @@ def _load():
             tmp = so_path + f".tmp{os.getpid()}.so"
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-ffp-contract=off",
-                 "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC],
+                 "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC, "-ldl"],
                 check=True, capture_output=True,
             )
             os.replace(tmp, so_path)
@@ -82,6 +82,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p,
+    ]
+    lib.hulk_gunzip_available.restype = ctypes.c_int32
+    lib.hulk_gunzip_available.argtypes = []
+    lib.hulk_gunzip.restype = ctypes.c_int64
+    lib.hulk_gunzip.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
     _lib = lib
     return lib
@@ -144,6 +150,35 @@ def flush_exact_native(bins, freqs, row_bins, cms, c_t, b_t, er_t, sketch,
         1 if drift else 0, decay_weight,
     )
     return True
+
+
+# ---- gzip decompression (libdeflate) ---------------------------------------
+
+def gunzip_available() -> bool:
+    lib = _load()
+    return lib is not None and bool(lib.hulk_gunzip_available())
+
+
+def gunzip_bytes(data: bytes) -> np.ndarray | None:
+    """Whole-buffer gzip decompression via libdeflate (~3x zlib). Returns a
+    uint8 array, or None when libdeflate is unavailable or the data is not
+    clean gzip (caller falls back to the zlib streaming path). Output buffer
+    starts at 8x the compressed size and doubles on overflow (multi-member
+    and high-ratio inputs are handled by the native loop / the retry)."""
+    lib = _load()
+    if lib is None or not lib.hulk_gunzip_available():
+        return None
+    src = np.frombuffer(data, dtype=np.uint8)
+    cap = max(8 * src.shape[0], 1 << 20)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        n = lib.hulk_gunzip(_ptr(src), src.shape[0], _ptr(out), cap)
+        if n >= 0:
+            return out[:n]
+        if n == -2:
+            cap *= 2
+            continue
+        return None
 
 
 # ---- FASTQ packing ---------------------------------------------------------

@@ -18,6 +18,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <dlfcn.h>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -327,6 +328,61 @@ void hulk_flush_exact(int64_t n, const int64_t* bins, const double* freqs,
 
     delete[] vals;
     delete[] lf;
+}
+
+// ---------------------------------------------------------------------------
+// gzip decompression via libdeflate (dlopen'd; ~2-3x zlib throughput)
+// ---------------------------------------------------------------------------
+// The input pipeline's host floor is gunzip (zlib ~320 MB/s measured vs the
+// parser's ~1.5 GB/s); libdeflate lifts it to ~1 GB/s. Whole-buffer API:
+// the caller passes the full compressed file and an output buffer; members
+// are looped (multi-member .gz is legal FASTQ practice). Returns the
+// decompressed size, -1 on corrupt data (caller falls back to zlib
+// streaming), or -2 when the output buffer is too small (caller doubles it).
+
+struct libdeflate_decompressor;
+static struct libdeflate_decompressor* (*ld_alloc)(void) = nullptr;
+static int (*ld_gzip_ex)(struct libdeflate_decompressor*, const void*,
+                         size_t, void*, size_t, size_t*, size_t*) = nullptr;
+static int ld_tried = 0;
+static struct libdeflate_decompressor* ld_decomp = nullptr;
+
+static bool ld_init() {
+    if (!ld_tried) {
+        ld_tried = 1;
+        void* h = dlopen("libdeflate.so.0", RTLD_NOW | RTLD_LOCAL);
+        if (!h) h = dlopen("libdeflate.so", RTLD_NOW | RTLD_LOCAL);
+        if (h) {
+            ld_alloc = (struct libdeflate_decompressor * (*)(void))
+                dlsym(h, "libdeflate_alloc_decompressor");
+            ld_gzip_ex = (int (*)(struct libdeflate_decompressor*, const void*,
+                                  size_t, void*, size_t, size_t*, size_t*))
+                dlsym(h, "libdeflate_gzip_decompress_ex");
+            if (ld_alloc && ld_gzip_ex) ld_decomp = ld_alloc();
+        }
+    }
+    return ld_decomp != nullptr;
+}
+
+int32_t hulk_gunzip_available() { return ld_init() ? 1 : 0; }
+
+int64_t hulk_gunzip(const uint8_t* in, int64_t in_n, uint8_t* out,
+                    int64_t cap) {
+    if (!ld_init()) return -1;
+    int64_t in_pos = 0, out_pos = 0;
+    while (in_pos < in_n) {
+        size_t a_in = 0, a_out = 0;
+        int r = ld_gzip_ex(ld_decomp, in + in_pos, (size_t)(in_n - in_pos),
+                           out + out_pos, (size_t)(cap - out_pos), &a_in, &a_out);
+        if (r == 3 /* INSUFFICIENT_SPACE */) return -2;
+        if (r != 0 /* SUCCESS */) return -1;
+        if (a_in == 0) return -1;  // no forward progress
+        in_pos += (int64_t)a_in;
+        out_pos += (int64_t)a_out;
+        // tolerate trailing NUL padding after the last member (some writers)
+        while (in_pos < in_n && in[in_pos] == 0) in_pos++;
+    }
+    return out_pos;
 }
 
 // ---------------------------------------------------------------------------

@@ -183,7 +183,30 @@ def batch_reads_native(
             yield from finish(codes[start : start + take], lengths[start : start + take])
             start += take
 
+    # whole-buffer libdeflate fast path for .gz up to this compressed size
+    # (~3x zlib; raw output is typically 3-8x compressed, kept in memory);
+    # larger files take the memory-bounded zlib streaming path
+    _LIBDEFLATE_MAX_COMPRESSED = 128 << 20
+
     def chunks_of(path):
+        import os as _os
+
+        if (
+            path.endswith(".gz")
+            and _os.path.getsize(path) <= _LIBDEFLATE_MAX_COMPRESSED
+        ):
+            from hulk_tpu import native as _native
+
+            if _native.available() and _native.gunzip_available():
+                with open(path, "rb") as fh:
+                    comp = fh.read()
+                raw = _native.gunzip_bytes(comp)
+                if raw is not None:
+                    step = 1 << 24
+                    for i in range(0, raw.shape[0], step):
+                        yield raw[i : i + step].tobytes()
+                    return
+                # not clean gzip: fall through to the zlib streaming path
         fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")
         with fh:
             while True:
