@@ -14,6 +14,13 @@ banded-LSH construction used by the original HULK paper's indexing scheme:
     sketch (the same estimator smash uses); per-query candidate sets rank
     vectorised on host, and whole-corpus ranking can run on the blocked
     device kernel (ops/distance.py / parallel/lsh.py).
+  * `query_topk` implements the LSH *Forest* proper (Bawa et al. 2005):
+    each band is a prefix tree kept as r sorted key arrays (depth 1..r);
+    a query descends from the longest prefix, unioning equal-prefix runs
+    across trees, until >=k candidates surface — so top-k needs no tuned
+    threshold. `search` keeps the fixed-band >=t semantics of the v0.0.2
+    CLI's `-j` flag (threshold queries); both rank candidates by the exact
+    positional estimate.
 
 Construction and banding are fully vectorised (one 64-bit polynomial band
 hash over [N, b, r], buckets grouped with one argsort per band), so builds
@@ -95,6 +102,7 @@ class LSHForest:
         if not self.buckets:
             self.buckets = [dict() for _ in range(self.n_bands)]
         self._pending: list = []
+        self._prefix: list | None = None  # per band, per depth sorted keys
 
     # ---- construction ----------------------------------------------------
 
@@ -124,6 +132,7 @@ class LSHForest:
         self.names.extend(names)
         self._pending.append(mins)
         self._insert_band_keys(mins, base)
+        self._prefix = None  # prefix trees are rebuilt lazily after inserts
 
     def _insert_band_keys(self, mins: np.ndarray, base: int) -> None:
         """Band-hash `mins` rows and extend the buckets with global ids
@@ -172,6 +181,81 @@ class LSHForest:
         order = np.argsort(-sims[keep])
         kept = cand[keep][order]
         return [(self.names[i], float(s)) for i, s in zip(kept, sims[keep][order])]
+
+    # ---- LSH Forest proper: prefix descent top-k -------------------------
+
+    _PREFIX_P = np.uint64(0x9E3779B97F4A7C15)
+
+    def _prefix_chain(self, rows: np.ndarray) -> list:
+        """[N, b, r] row values -> per band a list of depth-d key arrays
+        (d = 1..r): a running polynomial over the band's first d rows, so a
+        depth-d match == the two sketches agree on those d slots."""
+        out = []
+        with np.errstate(over="ignore"):
+            for bi in range(self.n_bands):
+                acc = np.full(rows.shape[0], np.uint64(bi + 1), dtype=np.uint64)
+                depths = []
+                for d in range(self.band_rows):
+                    acc = acc * self._PREFIX_P + _mix64(
+                        rows[:, bi, d] + np.uint64(d + 1)
+                    )
+                    depths.append(_mix64(acc))
+                out.append(depths)
+        return out
+
+    def _ensure_prefix_trees(self) -> None:
+        m = self.mins_matrix
+        if self._prefix is not None:
+            return
+        rows = (
+            np.ascontiguousarray(m[:, : self.n_bands * self.band_rows])
+            .reshape(-1, self.n_bands, self.band_rows)
+            .astype(np.uint64)
+        )
+        chains = self._prefix_chain(rows)
+        self._prefix = []
+        for bi in range(self.n_bands):
+            per_depth = []
+            for keys in chains[bi]:
+                order = np.argsort(keys, kind="stable").astype(np.int64)
+                per_depth.append((keys[order], order))
+            self._prefix.append(per_depth)
+
+    def query_topk(self, query_mins: np.ndarray, k: int):
+        """Top-k by prefix descent (Bawa et al. 2005): start at the longest
+        band prefix (depth r) and shorten until >=k candidates are unioned
+        across trees; rank candidates by the exact positional estimate.
+        Returns a ranked list of (name, similarity), length <= k."""
+        self._ensure_prefix_trees()
+        m = self.mins_matrix
+        n = m.shape[0]
+        if n == 0 or k <= 0:
+            return []
+        q = np.asarray(query_mins, dtype=np.uint64)
+        if q.shape != (self.sketch_size,):
+            raise LSHIndexError(
+                f"sketch length mismatch: {q.shape[-1]} vs {self.sketch_size}"
+            )
+        qchain = self._prefix_chain(q[None, :].reshape(1, -1)[
+            :, : self.n_bands * self.band_rows
+        ].reshape(1, self.n_bands, self.band_rows))
+        mask = np.zeros(n, dtype=bool)
+        for d in range(self.band_rows - 1, -1, -1):
+            for bi in range(self.n_bands):
+                keys_sorted, order = self._prefix[bi][d]
+                qk = qchain[bi][d][0]
+                lo = np.searchsorted(keys_sorted, qk, side="left")
+                hi = np.searchsorted(keys_sorted, qk, side="right")
+                if hi > lo:
+                    mask[order[lo:hi]] = True
+            if int(mask.sum()) >= k:
+                break
+        cand = np.flatnonzero(mask)
+        if cand.size == 0:
+            return []
+        sims = (m[cand] == q[None, :]).mean(axis=1)
+        order2 = np.argsort(-sims, kind="stable")[:k]
+        return [(self.names[cand[i]], float(sims[i])) for i in order2]
 
     def search_batch(self, query_mins: np.ndarray, thresh: float | None = None):
         """Per-query LSH prefilter + vectorised candidate ranking (host).

@@ -10,9 +10,12 @@ Each of 2^p buckets stores a register packing (leading-zero count capped at
 for vectorised/device execution and for exact psum-free merging across
 shards (elementwise max commutes with sharding).
 
-Jaccard estimation: fraction of matching non-empty registers, corrected for
-random collisions (P[collision] ~= 2^-r / 3 for the uncapped geometric part;
-see paper §3.3 for the exact series this approximates).
+Jaccard estimation: fraction of matching non-empty registers, corrected by
+the paper's §3.3 expected-collision count — the exact double series over
+(leading-zero value, r-bit value) cells of P[x's bucket minimum lands in
+the cell] * P[y's] summed over all 2^p buckets, with the paper's
+closed-form asymptotic (0.169919... * 2^(r-p) * 4(n/m)/((1+n/m)^2)) above
+n > 2^(p+5) where the series saturates float64.
 """
 from __future__ import annotations
 
@@ -97,22 +100,65 @@ class HyperMinHash:
             est = m * np.log(m / zeros)
         return float(est)
 
+    def expected_collisions(self, n: float, m: float) -> float:
+        """Paper §3.3: expected number of register collisions between two
+        INDEPENDENT random sets of cardinalities n and m.
+
+        Exact series: a register cell is (i, j) with i the capped
+        leading-zero value and j the r-bit value; the bucket minimum of a
+        random n-set lands in cell (i, j) with probability
+        (1-b2)^n - (1-b1)^n where [b1, b2) is the cell's sub-interval of
+        [0, 1). Independent sketches collide in a bucket with the product
+        probability, summed over cells and scaled by 2^p buckets. Above
+        n > 2^(p+5) the series is numerically degenerate ((1-b)^n
+        underflows) and the paper's closed-form asymptotic is used."""
+        p, q, r = self.p, self.q, self.r
+        if n < m:
+            n, m = m, n
+        if n == 0:
+            return 0.0
+        if n > 2.0 ** (2 ** q + r):
+            # beyond the sketch's representable range: no reliable estimate
+            return float("inf")
+        if n > 2.0 ** (p + 5):
+            ratio = n / m
+            d = (4.0 * ratio) / ((1.0 + ratio) ** 2)
+            return 0.169919487159739093975315012348 * (2.0 ** (r - p)) * d
+        x = 0.0
+        j = np.arange(1, (1 << r) + 1, dtype=np.float64)
+        two_r = float(1 << r)
+        for i in range(1, (1 << q) + 1):
+            if i != (1 << q):
+                b1 = (two_r + j) / (2.0 ** (p + r + i))
+                b2 = (two_r + j + 1.0) / (2.0 ** (p + r + i))
+            else:
+                b1 = j / (2.0 ** (p + r + i - 1))
+                b2 = (j + 1.0) / (2.0 ** (p + r + i - 1))
+            prx = np.power(1.0 - b2, n) - np.power(1.0 - b1, n)
+            pry = np.power(1.0 - b2, m) - np.power(1.0 - b1, m)
+            x += float(np.sum(prx * pry))
+        return x * (2.0 ** p) + 0.5
+
     def get_similarity(self, other: "HyperMinHash") -> float:
-        """Collision-corrected Jaccard estimate."""
+        """Jaccard estimate with the paper's §3.3 expected-collision
+        correction: (C - EC) / union, C = matching non-empty registers."""
         if (self.p, self.q, self.r) != (other.p, other.q, other.r):
             raise ValueError("mismatched HyperMinHash parameters")
         a, b = self.registers, other.registers
+        if np.array_equal(a, b):
+            # the J -> 1 limit: EC models INDEPENDENT sets and does not
+            # apply to identical sketches (also pins self-distance to 0)
+            return 1.0 if a.any() else 0.0
         both = (a != 0) & (b != 0)
         either = (a != 0) | (b != 0)
         u = int(np.count_nonzero(either))
         if u == 0:
             return 0.0
         c = int(np.count_nonzero(both & (a == b)))
-        ec = np.count_nonzero(both) * (2.0 ** -self.r) / 3.0
-        denom = u - ec
-        if denom <= 0:
+        ec = self.expected_collisions(self.cardinality(), other.cardinality())
+        if not np.isfinite(ec):
             return 0.0
-        return float(np.clip((c - ec) / denom, 0.0, 1.0))
+        return float(np.clip((c - ec) / u, 0.0, 1.0))
 
     # ---- SketchObject interface ------------------------------------------
 

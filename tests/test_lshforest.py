@@ -155,3 +155,97 @@ def test_add_batch_matches_sequential_and_b64_roundtrip(tmp_path):
     json.dump(doc, open(p2, "w"))
     fd = LSHForest.load_json(str(p2))
     assert fd.search(q) == fb.search(q)
+
+
+def _corpus_at_levels(rng, s, levels, per_level, n_noise):
+    """(query, names, mins, true_sims): items constructed at controlled
+    positional similarity to the query (keep round(s*level) slots, replace
+    the rest with unique random values), plus pure-noise rows."""
+    q = rng.integers(1, 1 << 60, s, dtype=np.uint64)
+    rows, sims, names = [], [], []
+    for lv in levels:
+        keep = int(round(s * lv))
+        for i in range(per_level):
+            r = rng.integers(1 << 61, 1 << 62, s, dtype=np.uint64)
+            pos = rng.permutation(s)[:keep]
+            r[pos] = q[pos]
+            rows.append(r)
+            sims.append(keep / s)
+            names.append(f"lv{lv:.2f}_{i}")
+    for i in range(n_noise):
+        rows.append(rng.integers(1 << 61, 1 << 62, s, dtype=np.uint64))
+        sims.append(0.0)
+        names.append(f"noise_{i}")
+    return q, names, np.stack(rows), np.asarray(sims)
+
+
+def test_forest_recall_precision_curves():
+    """Threshold `search` characterised at 3 thresholds: recall of
+    well-above-threshold items >= 0.9 per banding's S-curve, precision
+    exactly 1.0 (candidates are re-ranked by the exact positional
+    estimate, so nothing below t survives), and the banding prefilter
+    rejects most far-below-threshold rows."""
+    from hulk_tpu.index.lshforest import LSHForest
+
+    rng = np.random.default_rng(17)
+    s = 42
+    levels = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    q, names, mins, sims = _corpus_at_levels(rng, s, levels, 40, 200)
+    for t in (0.5, 0.7, 0.9):
+        forest = LSHForest(kmer_size=21, sketch_size=s, jaccard_thresh=t)
+        forest.add_batch(list(names), mins)
+        hits = dict(forest.search(q, thresh=t))
+        above = [n for n, sv in zip(names, sims) if sv >= t + 0.1]
+        got = sum(1 for n in above if n in hits)
+        assert got >= 0.9 * len(above), f"t={t}: recall {got}/{len(above)}"
+        # precision is exact by construction: assert nothing below t returned
+        name_sim = dict(zip(names, sims))
+        assert all(name_sim[n] >= t for n in hits), f"t={t}: below-threshold hit"
+        # prefilter selectivity: far-below rows mostly never become candidates
+        cand = set(forest.candidates(q).tolist())
+        far_below = [i for i, sv in enumerate(sims) if sv <= t - 0.3]
+        leaked = sum(1 for i in far_below if i in cand)
+        assert leaked <= 0.5 * len(far_below), f"t={t}: prefilter leaked {leaked}"
+
+
+def test_forest_topk_prefix_descent_matches_bruteforce():
+    """query_topk needs no threshold: prefix descent must surface the exact
+    brute-force top-k (modulo ties at the k-th similarity)."""
+    from hulk_tpu.index.lshforest import LSHForest
+
+    rng = np.random.default_rng(23)
+    s = 42
+    q, names, mins, sims = _corpus_at_levels(
+        rng, s, [0.15, 0.35, 0.55, 0.75, 0.95], 30, 300
+    )
+    forest = LSHForest(kmer_size=21, sketch_size=s, jaccard_thresh=0.7)
+    forest.add_batch(list(names), mins)
+    for k in (1, 5, 15):
+        got = forest.query_topk(q, k)
+        assert len(got) == k
+        exact = (mins == q[None, :]).mean(axis=1)
+        kth = np.sort(exact)[::-1][k - 1]
+        # every returned item at least as similar as the k-th exact, and
+        # every strictly-above-kth item present
+        name_sim = dict(zip(names, exact))
+        assert all(name_sim[n] >= kth for n, _ in got)
+        must = {n for n, e in zip(names, exact) if e > kth}
+        assert must.issubset({n for n, _ in got})
+        # ranked descending
+        simvals = [v for _, v in got]
+        assert simvals == sorted(simvals, reverse=True)
+
+
+def test_forest_topk_after_incremental_add():
+    """Prefix trees rebuild after add_batch invalidates them."""
+    from hulk_tpu.index.lshforest import LSHForest
+
+    rng = np.random.default_rng(31)
+    s = 42
+    q, names, mins, _ = _corpus_at_levels(rng, s, [0.9], 3, 20)
+    forest = LSHForest(kmer_size=21, sketch_size=s, jaccard_thresh=0.7)
+    forest.add_batch(list(names), mins)
+    _ = forest.query_topk(q, 2)
+    forest.add("exact_dup", q)
+    got = forest.query_topk(q, 1)
+    assert got[0][0] == "exact_dup" and got[0][1] == 1.0

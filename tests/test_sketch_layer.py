@@ -318,3 +318,49 @@ def test_drift_subnormal_squash_is_output_exact():
         hs2.add_element(int(bins[i]), float(freqs[i]))
     assert np.array_equal(hs.sketch, hs2.sketch)
     assert np.array_equal(hs.sketch_weights, hs2.sketch_weights)
+
+
+def test_hyperminhash_bias_variance_sweep():
+    """Estimator vs exact Jaccard across cardinality ratios 1:1 to 1:100
+    (paper arXiv:1710.08436 §3.3). Tolerance is DERIVED, not hand-tuned:
+    the matching-register count C is a sum over u union-occupied buckets of
+    nearly independent Bernoullis with mean ~ J + EC/u, so
+    sd(J_est) ~= sqrt(J(1-J)/u), plus Poisson noise sqrt(EC)/u from the
+    collision term; each case must land within 5 combined sd. A second
+    pass averages 5 seeds and requires the BIAS within 2 sd/sqrt(5)."""
+    from hulk_tpu.sketch.hyperminhash import HyperMinHash
+
+    # (|A|, |B|, |A intersect B|): ratios 1:1, 1:10, 1:100
+    cases = [
+        (30_000, 30_000, 10_000),   # J = 0.2
+        (50_000, 5_000, 2_500),     # J ~= 0.0476, ratio 10
+        (100_000, 1_000, 500),      # J ~= 0.00498, ratio 100
+        (50_000, 5_000, 0),         # J = 0, ratio 10
+    ]
+    for na, nb, nov in cases:
+        j_exact = nov / (na + nb - nov)
+        errs = []
+        tol = None
+        for seed in range(5):
+            rng = np.random.default_rng(1000 + seed)
+            pool = rng.integers(0, 2**64, na + nb - nov, dtype=np.uint64)
+            a_vals = pool[:na]
+            b_vals = np.concatenate([pool[:nov], pool[na:]])
+            assert b_vals.shape[0] == nb
+            ha, hb = HyperMinHash(21), HyperMinHash(21)
+            ha.add_hashes(a_vals)
+            hb.add_hashes(b_vals)
+            est = ha.get_similarity(hb)
+            u = int(np.count_nonzero((ha.registers != 0) | (hb.registers != 0)))
+            ec = ha.expected_collisions(float(na), float(nb))
+            sd = np.sqrt(max(j_exact * (1 - j_exact), 1.0 / u) / u) + np.sqrt(max(ec, 1.0)) / u
+            tol = 5 * sd
+            errs.append(est - j_exact)
+            assert abs(est - j_exact) <= tol, (
+                f"case {(na, nb, nov)} seed {seed}: est {est} vs {j_exact} "
+                f"(tol {tol})"
+            )
+        bias = float(np.mean(errs))
+        assert abs(bias) <= 2 * tol / np.sqrt(5) + 1e-3, (
+            f"case {(na, nb, nov)}: bias {bias} exceeds {2 * tol / np.sqrt(5)}"
+        )
