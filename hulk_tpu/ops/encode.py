@@ -33,6 +33,11 @@ class PackedReads:
 
     codes: np.ndarray  # [R, L] uint8, PAD_CODE beyond each read's length
     lengths: np.ndarray  # [R] int32
+    # input-stream origin for seek-based checkpoint resume (None when the
+    # producer doesn't track it, e.g. the generic Python reads path)
+    file_idx: int | None = None  # index into the producer's path list
+    reads_in_file_end: int | None = None  # reads emitted from that file
+    #   through the END of this batch
 
     @property
     def n_reads(self) -> int:

@@ -128,6 +128,28 @@ DEFAULT_LENGTH_BUCKETS = (
 )
 
 
+def _skip_lines(chunks: Iterator[bytes], n_lines: int) -> Iterator[bytes]:
+    """Drop the first n_lines newline-terminated lines of a decompressed
+    chunk stream by COUNTING newlines (memchr speed, no parsing) — the
+    seek path for checkpoint resume. gzip itself is not random-accessible,
+    so .gz inputs still decompress the skipped prefix; everything else
+    (parse, pack, batch, transfer, device) is skipped."""
+    remaining = n_lines
+    for c in chunks:
+        if remaining:
+            buf = np.frombuffer(c, dtype=np.uint8)
+            nl = np.flatnonzero(buf == 0x0A)
+            if nl.shape[0] < remaining:
+                remaining -= int(nl.shape[0])
+                continue
+            cut = int(nl[remaining - 1]) + 1
+            remaining = 0
+            if cut < len(c):
+                yield c[cut:]
+        else:
+            yield c
+
+
 def batch_reads_native(
     paths: list[str],
     batch_size: int = 2048,
@@ -135,6 +157,9 @@ def batch_reads_native(
     cut_every: int | None = None,
     max_read_len: int = 65536,
     fasta: bool = False,
+    start_file: int = 0,
+    skip_reads: int = 0,
+    progress: dict | None = None,
 ) -> Iterator[PackedReads]:
     """FASTQ/FASTA batches via the native C++ parser/packer (files only).
 
@@ -143,15 +168,28 @@ def batch_reads_native(
     Batches are split at cut_every global-read-index multiples so interval
     flush boundaries match the Python path exactly. Reads at max_read_len are
     rejected (the packer would truncate silently).
+
+    start_file/skip_reads implement seek-based checkpoint resume (FASTQ
+    only): files before start_file are never opened; the first skip_reads
+    records of the start file are skipped by newline counting (4 lines per
+    record) instead of parse+pack+stream replay. Each emitted batch carries
+    its (file_idx, reads_in_file_end) origin so checkpoints can record the
+    seek target. `progress`, when given, accrues "parse_bytes" — the bytes
+    actually fed to the parser (tests assert resume re-parses only the
+    tail).
     """
     from hulk_tpu import native
 
+    if skip_reads and fasta:
+        raise FastqError("seek-based resume supports FASTQ only")
     cls = native.NativeFastaPacker if fasta else native.NativeFastqPacker
     packer = cls(cap_reads=batch_size, cap_len=max_read_len)
     emitted = 0
+    cur_file = start_file
+    file_emitted = skip_reads
 
     def finish(codes, lengths):
-        nonlocal emitted
+        nonlocal emitted, file_emitted
         if lengths.shape[0] == 0:
             return
         if (lengths >= max_read_len).any():
@@ -168,7 +206,11 @@ def batch_reads_native(
         out_len[:R] = lengths
         np.putmask(out_codes, col >= out_len[:, None], np.uint8(5))
         emitted += R
-        yield PackedReads(codes=out_codes, lengths=out_len)
+        file_emitted += R
+        yield PackedReads(
+            codes=out_codes, lengths=out_len, file_idx=cur_file,
+            reads_in_file_end=file_emitted,
+        )
 
     def splits(codes, lengths):
         """Split a raw packed chunk at interval boundaries."""
@@ -215,10 +257,20 @@ def batch_reads_native(
                     return
                 yield chunk
 
-    for p in paths:
+    for fi, p in enumerate(paths):
+        if fi < start_file:
+            continue
+        cur_file = fi
+        if fi > start_file:
+            file_emitted = 0
+        chunk_src = chunks_of(p)
+        if fi == start_file and skip_reads:
+            chunk_src = _skip_lines(chunk_src, 4 * skip_reads)
         # decompression in its own thread (zlib releases the GIL), overlapped
         # with native packing here
-        for chunk in prefetch_batches(chunks_of(p), depth=4):
+        for chunk in prefetch_batches(chunk_src, depth=4):
+            if progress is not None:
+                progress["parse_bytes"] = progress.get("parse_bytes", 0) + len(chunk)
             for codes, lengths in packer.feed(chunk):
                 yield from splits(codes, lengths)
         try:

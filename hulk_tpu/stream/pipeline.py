@@ -242,7 +242,7 @@ class _DeviceStream:
 
 
 def _save_checkpoint(path, *, seq_count, length_total, minimizer_count, hs,
-                     kmv, khf, hmh, cfg):
+                     kmv, khf, hmh, cfg, origin=None):
     """Atomic snapshot of all persistent stream state at an interval
     boundary (the spectrum is empty there — flush just wiped it). The sketch
     JSON itself is the reference's only checkpoint (SURVEY.md §5); this is
@@ -264,6 +264,12 @@ def _save_checkpoint(path, *, seq_count, length_total, minimizer_count, hs,
         payload["khf_sketch"] = khf.sketch
     if hmh is not None:
         payload["hmh_registers"] = hmh.registers
+    if origin is not None and origin[0] is not None:
+        # input-stream seek target: (file index, reads consumed from it) at
+        # this interval boundary — lets resume skip earlier files entirely
+        # and line-skip the consumed prefix instead of replaying the stream
+        payload["resume_file_idx"] = int(origin[0])
+        payload["resume_reads_in_file"] = int(origin[1])
     tmp = f"{path}.tmp{os.getpid()}"
     np.savez(tmp, **payload)
     os.replace(tmp + ".npz", path)
@@ -305,7 +311,13 @@ def _load_checkpoint(path, cfg, hs, kmv, khf, hmh):
         if "hmh_registers" not in z:
             raise PipelineError("checkpoint has no HyperMinHash state")
         hmh.registers = z["hmh_registers"].copy()
-    return int(z["seq_count"]), int(z["length_total"]), int(z["minimizer_count"])
+    origin = None
+    if "resume_file_idx" in z:
+        origin = (int(z["resume_file_idx"]), int(z["resume_reads_in_file"]))
+    return (
+        int(z["seq_count"]), int(z["length_total"]),
+        int(z["minimizer_count"]), origin,
+    )
 
 
 class _ShardedDeviceStream:
@@ -485,10 +497,11 @@ def run_sketch_pipeline(
     length_total = 0
     minimizer_count = 0
     resume_base = 0
+    resume_origin = None
     if cfg.resume_from:
         if not cfg.interval:
             raise PipelineError("resume requires interval mode (snapshots are taken at interval flushes)")
-        seq_count, length_total, minimizer_count = _load_checkpoint(
+        seq_count, length_total, minimizer_count, resume_origin = _load_checkpoint(
             cfg.resume_from, cfg, hs, kmv, khf, hmh
         )
         resume_base = seq_count
@@ -503,7 +516,7 @@ def run_sketch_pipeline(
             hs.add_elements(bins, freqs)
             spectrum.wipe()
 
-    def interval_flush(counters=None, snap_states=None):
+    def interval_flush(counters=None, snap_states=None, origin=None):
         flush()
         if on_interval is not None:
             snap = HULKData(filename=cfg.file_name, banner=cfg.banner_label)
@@ -516,7 +529,8 @@ def run_sketch_pipeline(
             )
             _save_checkpoint(
                 cfg.checkpoint_path, seq_count=sc, length_total=lt,
-                minimizer_count=mc, hs=hs, kmv=skmv, khf=skhf, hmh=shmh, cfg=cfg,
+                minimizer_count=mc, hs=hs, kmv=skmv, khf=skhf, hmh=shmh,
+                cfg=cfg, origin=origin,
             )
 
     import jax
@@ -547,19 +561,36 @@ def run_sketch_pipeline(
         dev = None
 
     cut = cfg.interval if cfg.interval else None
+    seek_resume = (
+        resume_base > 0
+        and resume_origin is not None
+        and reads is None
+        and not cfg.fasta
+    )
     if reads is None:
         from hulk_tpu import native
 
         if cfg.input_paths is None or not native.available():
             raise PipelineError("native input path requested but unavailable")
+        kw = {}
+        if seek_resume:
+            # O(parse-free) resume: earlier files never open; the consumed
+            # prefix of the boundary file is skipped by newline counting
+            kw = dict(
+                start_file=resume_origin[0], skip_reads=resume_origin[1]
+            )
+            log.info(
+                "\tseek resume: file %d, skipping %d records",
+                resume_origin[0], resume_origin[1],
+            )
         batches = batch_reads_native(
             cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut,
-            fasta=cfg.fasta,
+            fasta=cfg.fasta, **kw,
         )
     else:
         batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)
 
-    if resume_base:
+    if resume_base and not seek_resume:
         def _skip_resumed(src, skip):
             done = 0
             for b in src:
@@ -594,8 +625,11 @@ def run_sketch_pipeline(
             pending.result()
             pending = None
 
+    last_origin = None
     try:
         for batch in batches:
+            if batch.file_idx is not None:
+                last_origin = (batch.file_idx, batch.reads_in_file_end)
             active = batch.lengths > 0
             bad = short_read_mask(batch.lengths, k, w) & active
             if bad.any():
@@ -640,9 +674,14 @@ def run_sketch_pipeline(
                             copy.deepcopy(hmh),
                         )
                         dev.collect(*snap_states)
-                    pending = pool.submit(interval_flush, counters, snap_states)
+                    pending = pool.submit(
+                        interval_flush, counters, snap_states, last_origin
+                    )
                 else:
-                    interval_flush((seq_count, length_total, minimizer_count))
+                    interval_flush(
+                        (seq_count, length_total, minimizer_count),
+                        None, last_origin,
+                    )
 
         log.info("generating final histosketch of k-mer spectra...")
         wait_flush()

@@ -395,3 +395,95 @@ def test_group_step_matches_per_batch_steps():
     assert np.array_equal(np.asarray(kmv), np.asarray(kmv2))
     assert np.array_equal(np.asarray(khf), np.asarray(khf2))
     assert np.array_equal(np.asarray(hmh), np.asarray(hmh2))
+
+
+def test_seek_resume_native_bit_identical(tmp_path):
+    """Native-path resume must SEEK (skip earlier files, line-skip the
+    boundary file's consumed prefix) rather than replay: output is
+    bit-identical to the uninterrupted run AND the resumed run parses only
+    the post-checkpoint tail (asserted via the parse_bytes progress
+    counter on the underlying batch reader)."""
+    import gzip
+    import os
+
+    import numpy as np
+
+    from hulk_tpu.stream.fastq import batch_reads_native
+    from hulk_tpu.stream.pipeline import (
+        SketchConfig, _load_checkpoint, run_sketch_pipeline,
+    )
+    from hulk_tpu.sketch.histosketch import HistoSketch
+    from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
+
+    rng = np.random.default_rng(12)
+
+    def write_fq(path, n, length=80):
+        with gzip.open(path, "wb") as fh:
+            for i in range(n):
+                seq = bytes(rng.choice(list(b"ACGT"), size=length).tolist())
+                fh.write(b"@r%d\n%s\n+\n%s\n" % (i, seq, b"I" * length))
+
+    f1 = str(tmp_path / "a.fq.gz")
+    f2 = str(tmp_path / "b.fq.gz")
+    write_fq(f1, 300)
+    write_fq(f2, 260)
+    ck = str(tmp_path / "ck.npz")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, interval=100, kmv=True, khf=True,
+              batch_size=64, device_stream=False)
+
+    full = run_sketch_pipeline(None, SketchConfig(**kw, input_paths=[f1, f2]))
+
+    # interrupted run over the first file only -> last checkpoint at read 300
+    r1 = run_sketch_pipeline(
+        None, SketchConfig(**kw, input_paths=[f1], checkpoint_path=ck)
+    )
+    assert r1.seq_count == 300
+
+    # the checkpoint must carry the seek origin (file 0 fully consumed)
+    hs = HistoSketch(11, 8, 11 ** 4, 1.0)
+    sc, _, _, origin = _load_checkpoint(
+        ck, SketchConfig(**kw), hs, KMVSketch(11, 8), KHFSketch(11, 8), None
+    )
+    assert sc == 300 and origin == (0, 300)
+
+    # resumed run: bit-identical result
+    r2 = run_sketch_pipeline(
+        None, SketchConfig(**kw, input_paths=[f1, f2], resume_from=ck)
+    )
+    s_full = dict(full.hulk_data.signatures)
+    s_res = dict(r2.hulk_data.signatures)
+    for algo in ("histosketch", "kmv", "khf"):
+        assert np.array_equal(
+            s_full[algo].get_sketch(), s_res[algo].get_sketch()
+        ), algo
+    assert np.array_equal(
+        s_full["histosketch"].sketch_weights, s_res["histosketch"].sketch_weights
+    )
+    assert r2.seq_count == full.seq_count
+    assert r2.minimizer_count == full.minimizer_count
+
+    # bounded re-read: with the origin as seek target, the reader must feed
+    # the parser ONLY file 2's bytes (file 1 is never opened/parsed)
+    progress = {}
+    batches = list(
+        batch_reads_native([f1, f2], batch_size=64, start_file=origin[0],
+                           skip_reads=origin[1], progress=progress)
+    )
+    n_resumed = sum(int((b.lengths > 0).sum()) for b in batches)
+    assert n_resumed == 260
+    raw2 = len(gzip.open(f2, "rb").read())
+    assert progress["parse_bytes"] <= raw2  # file 1 contributed nothing
+
+    # mid-file seek: skip 100 records of file 1, parse the rest
+    progress2 = {}
+    batches = list(
+        batch_reads_native([f1, f2], batch_size=64, start_file=0,
+                           skip_reads=100, progress=progress2)
+    )
+    n2 = sum(int((b.lengths > 0).sum()) for b in batches)
+    assert n2 == 200 + 260
+    raw1 = len(gzip.open(f1, "rb").read())
+    assert progress2["parse_bytes"] < raw1 * 2 / 3 + raw2 + (1 << 16)
+    origins = [(b.file_idx, b.reads_in_file_end) for b in batches]
+    assert origins[-1] == (1, 260)
