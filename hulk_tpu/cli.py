@@ -69,6 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
     ps.add_argument("--hmh", "--hyperminhash", dest="hmh", action="store_true", help="also generate a HyperMinHash sketch (extension)")
+    ps.add_argument("--device-flush", dest="device_flush", action="store_true", help="run the histosketch flush on the accelerator (extension; exact output, requires decayRatio=1.0)")
     ps.add_argument("--checkpoint", type=str, default="", help="write a resumable state snapshot after every interval flush (extension; requires -i)")
     ps.add_argument("--resume", type=str, default="", help="resume a sketch run from a --checkpoint snapshot (extension)")
 
@@ -187,6 +188,7 @@ def run_sketch(args) -> None:
         file_name=(",".join(fastq) + ",") if fastq else "STDIN",
         checkpoint_path=args.checkpoint or None,
         resume_from=args.resume or None,
+        device_flush=args.device_flush,
     )
 
     # multi-host: each process takes a static file shard; partial states are
@@ -318,6 +320,25 @@ def run_smash(args) -> None:
     except SketchIOError as e:
         _error_check(str(e))
         return
+
+    import jax
+
+    # multi-host smash: shard the JSON loads round-robin, allgather the
+    # [n_i, s] mins+weights, shard the matrix row blocks per process (each
+    # over its local dp mesh), allgather the rows; process 0 writes. Only
+    # the weighted-Jaccard histosketch path (the reference smash default)
+    # distributes; other metric/algorithm combos fall back to
+    # every-process-loads-everything with process-0-only writes.
+    if (
+        jax.process_count() > 1
+        and args.metric == "weightedjaccard"
+        and args.algorithm == "histosketch"
+        and not args.bannerMatrix
+        and len(json_files) >= 2
+    ):
+        _run_smash_distributed(args, sorted(json_files))
+        return
+
     sketches = {}
     for jf in json_files:
         try:
@@ -352,6 +373,9 @@ def run_smash(args) -> None:
         except Exception as e:  # fall back to the host path on any failure
             log.info("\tdevice matrix path unavailable (%s); using host path", e)
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        log.info("finished")  # only process 0 writes output files
+        return
     with open(matrix_path, "w", newline="") as fh:
         wr = csv.writer(fh, lineterminator="\n")
         wr.writerow(ordering)
@@ -390,6 +414,71 @@ def run_smash(args) -> None:
     log.info("finished")
 
 
+def _run_smash_distributed(args, ordering: list) -> None:
+    """Multi-host weighted-Jaccard smash (see run_smash). Loads a
+    round-robin shard of `ordering` per process, allgathers mins+weights,
+    computes this process's row stripe on its local dp mesh, allgathers
+    rows, host-rechecks %.2f boundary cells from the gathered arrays (the
+    exact get_wjd with the reference's subject-weights semantics), and
+    writes the byte-identical CSV from process 0."""
+    import csv
+
+    import jax
+    import numpy as np
+
+    from hulk_tpu.io.sketchio import (
+        SketchIOError, _weights_of, load_hulk_data,
+    )
+    from hulk_tpu.parallel.distributed import process_read_shard
+    from hulk_tpu.parallel.smash import distributed_pairwise_wjd
+    from hulk_tpu.sketch.distances import get_wjd
+
+    my_files = process_read_shard(ordering)
+    local_mins, local_weights = [], []
+    for jf in my_files:
+        try:
+            data = load_hulk_data(jf)
+            obj = data.find_sketch(args.kmerSize, args.algorithm)
+        except SketchIOError as e:
+            _error_check(str(e))
+            return
+        local_mins.append(np.asarray(obj.get_sketch(), dtype=np.int64))
+        local_weights.append(np.asarray(_weights_of(obj), dtype=np.float64))
+    s = local_mins[0].shape[0] if local_mins else 0
+    lm = np.stack(local_mins) if local_mins else np.zeros((0, s), np.int64)
+    lw = (
+        np.stack(local_weights) if local_weights else np.zeros((0, s), np.float64)
+    )
+    log.info(
+        "\tprocess %d/%d: %d of %d sketches",
+        jax.process_index(), jax.process_count(), len(my_files), len(ordering),
+    )
+    mins, weights, d = distributed_pairwise_wjd(lm, lw)
+    if mins.shape[0] != len(ordering):
+        _error_check("sketch shard gather lost rows")
+        return
+
+    # boundary-cell recheck, from the gathered arrays (subject-weights bug:
+    # both weight vectors from the row sketch)
+    cells = 100.0 - d * 100.0
+    frac = np.abs(cells * 100.0 - np.floor(cells * 100.0) - 0.5)
+    risky = np.argwhere(frac < 1e-5)
+    for i, j in risky:
+        d[i, j] = get_wjd(mins[i], mins[j], weights[i], weights[i])
+    if len(risky):
+        log.info("\trechecked %d boundary cells on the host", len(risky))
+
+    if jax.process_index() == 0:
+        matrix_path = args.outFile + ".hulk-matrix.csv"
+        with open(matrix_path, "w", newline="") as fh:
+            wr = csv.writer(fh, lineterminator="\n")
+            wr.writerow(ordering)
+            for i in range(len(ordering)):
+                wr.writerow([f"{100 - v * 100:.2f}" for v in d[i]])
+        log.info("\twritten similarity matrix to disk: %s", matrix_path)
+    log.info("finished")
+
+
 def _apply_platform_env() -> None:
     """Honour JAX_PLATFORMS/HULK_PLATFORM even though this environment
     pre-imports jax at interpreter startup (which makes the env var a no-op
@@ -416,13 +505,24 @@ def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
     objs = [sketches[f].find_sketch(ksize, algo) for f in ordering]
     mins = np.stack([np.asarray(o.get_sketch(), dtype=np.uint64) for o in objs])
     if metric == "weightedjaccard":
+        import jax
+
         from hulk_tpu.io.sketchio import _weights_of
         from hulk_tpu.ops.distance import pairwise_weighted_jaccard_dist
 
         weights = np.stack([_weights_of(o) for o in objs])
-        d = np.asarray(
-            pairwise_weighted_jaccard_dist(mins.astype(np.int64), weights)
-        )
+        ndev = len(jax.local_devices())
+        if ndev > 1:
+            # row blocks shard over the dp mesh; same per-cell math as the
+            # single-device kernel (parallel/smash.py), so the boundary
+            # recheck below stays sufficient
+            from hulk_tpu.parallel.smash import sharded_pairwise_wjd
+
+            d = sharded_pairwise_wjd(mins.astype(np.int64), weights)
+        else:
+            d = np.asarray(
+                pairwise_weighted_jaccard_dist(mins.astype(np.int64), weights)
+            )
         cells = 100.0 - d * 100.0
         frac = np.abs(cells * 100.0 - np.floor(cells * 100.0) - 0.5)
         risky = np.argwhere(frac < 1e-5)

@@ -41,8 +41,7 @@ def _jaccard_block(a, b):
     return (a[:, None, :] == b[None, :, :]).astype(jnp.int32).sum(-1)
 
 
-@partial(jax.jit, static_argnames=())
-def _wjd_block(a, wa, ws, b):
+def wjd_block_body(a, wa, ws, b):
     """[B, s] mins + |weights| + row sums x [C, s] mins -> [B, C] distances.
 
     The intersection sum accumulates in f64 via a lax.scan over slots —
@@ -52,7 +51,8 @@ def _wjd_block(a, wa, ws, b):
     (error ~1e-15 relative); callers that print %.2f CSV cells re-check
     cells within 1e-5 of a rounding boundary against the exact host path
     (cli._smash_matrix_device), making the printed matrix provably
-    reference-CSV-exact.
+    reference-CSV-exact. Unjitted body — reused under shard_map by the
+    mesh-sharded smash (parallel/smash.py).
     """
     eq = a[:, None, :] == b[None, :, :]  # [B, C, s] bool
 
@@ -63,6 +63,9 @@ def _wjd_block(a, wa, ws, b):
     acc0 = jnp.zeros_like(eq[:, :, 0], dtype=jnp.float64)
     inter, _ = jax.lax.scan(body, acc0, (jnp.moveaxis(eq, 2, 0), wa.T))
     return 1.0 - inter / jnp.maximum(ws[:, None], 1e-300)
+
+
+_wjd_block = jax.jit(wjd_block_body)
 
 
 def pairwise_jaccard_sim(mins, *, block: int = 512, col_block: int = 4096):

@@ -246,6 +246,96 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
     return flush
 
 
+# Relative margin bound for the production device flush's argmin recheck.
+# XLA's f64 log/exp are within ~2 ULP (~4.4e-16 relative) each, so a
+# device-computed Aka is within ~1e-15 of the exact fdlibm value; 1e-12
+# leaves 3 orders of magnitude of slack. Any element whose device Aka lies
+# within this margin of the winning Aka is surfaced as a candidate; if more
+# than TOP_T fit the margin the flush reports overflow and the caller falls
+# back to the full exact host flush (never observed; the bound exists to
+# make the exactness claim a THEOREM rather than an expectation).
+FLUSH_MARGIN_REL = 1e-12
+FLUSH_TOP_T = 8
+
+
+def make_device_flush_candidates(mesh: Mesh, depth: int, width: int,
+                                 top_t: int = FLUSH_TOP_T):
+    """PRODUCTION no-drift device flush, device stage.
+
+    The CMS update and every per-element frequency estimate are EXACT on
+    device (integer-valued f64 sums under the grouped prefix-sum — see
+    sharded_flush_step's derivation); only the CWS transform
+    Aka = c/(exp(log(esti)-b)*exp_r) uses XLA's exp/log (~1 ULP off the Go
+    fdlibm semantics). Instead of trusting the device argmin, this stage
+    returns per sketch slot the TOP_T candidate elements by device Aka plus
+    a margin count; the host stage (sketch/histosketch.exact_flush_select)
+    recomputes those few Akas with the bit-exact Go ports and applies the
+    reference's replace-if-strictly-smaller selection. Bit-identity holds
+    whenever margin_count <= top_t (else the caller falls back to the host
+    flush; see FLUSH_MARGIN_REL).
+
+    Returns a jitted fn:
+        (hist [nbins] i32/f64, row_bins [depth, nbins] i32,
+         cms [depth, width] f64, c/b/exp_r [s, nbins] sharded over mp)
+        -> (cms_out [depth, width],
+            cand_bins [s, T] i64, cand_esti [s, T] f64,
+            cand_live [s, T] bool, margin_count [s] i32)
+    """
+
+    def local_flush(hist, row_bins, cms, c_sh, b_sh, er_sh):
+        freqs = hist.astype(jnp.float64)
+        live = freqs != 0.0
+
+        def row_prefix(keys, cms_row):
+            order = jnp.argsort(keys, stable=True)
+            ks = keys[order]
+            fs = freqs[order]
+            cs = jnp.cumsum(fs)
+            segst = jnp.concatenate(
+                [jnp.ones_like(ks[:1], dtype=bool), ks[1:] != ks[:-1]]
+            )
+            base = jnp.where(segst, cs - fs, -jnp.inf)
+            base = jax.lax.cummax(base)
+            pre = cs - base + cms_row[ks]
+            out = jnp.zeros_like(pre).at[order].set(pre)
+            return out, cms_row.at[keys].add(freqs)
+
+        estis, new_rows = [], []
+        for d in range(depth):
+            e, nr = row_prefix(row_bins[d], cms[d])
+            estis.append(e)
+            new_rows.append(nr)
+        esti = jnp.stack(estis).min(axis=0)
+        cms_out = jnp.stack(new_rows)
+
+        lf = jnp.log(jnp.where(live, esti, 1.0))
+        aka = c_sh / (jnp.exp(lf[None, :] - b_sh) * er_sh)
+        aka = jnp.where(live[None, :], aka, jnp.inf)
+        neg_top, idx = jax.lax.top_k(-aka, top_t)  # smallest akas, ties by index
+        best = -neg_top[:, 0]
+        # sign-safe margin: best + |best|*rel (+tiny for best == 0)
+        thresh = best + jnp.abs(best) * FLUSH_MARGIN_REL + 1e-300
+        margin = jnp.sum(aka <= thresh[:, None], axis=1).astype(jnp.int32)
+        cand_bins = idx.astype(jnp.int64)
+        cand_esti = esti[idx]
+        cand_live = live[idx]
+        return cms_out, cand_bins, cand_esti, cand_live, margin
+
+    return jax.jit(
+        jax.shard_map(
+            local_flush,
+            mesh=mesh,
+            in_specs=(
+                P(), P(), P(),
+                P("mp", None), P("mp", None), P("mp", None),
+            ),
+            out_specs=(
+                P(), P("mp", None), P("mp", None), P("mp", None), P("mp"),
+            ),
+        )
+    )
+
+
 def shard_tables(mesh: Mesh, tables):
     """Place the CWS tables with slot-dim sharding over mp (replicated dp)."""
     sh = NamedSharding(mesh, P("mp", None))

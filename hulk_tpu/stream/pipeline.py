@@ -49,6 +49,7 @@ class SketchConfig:
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
     device_stream: bool | None = None  # None -> auto (on when backend != cpu)
     data_parallel: bool | None = None  # None -> auto (shard when >1 device)
+    device_flush: bool = False  # histosketch flush on device (no-drift only)
     input_paths: list | None = None  # set -> native C++ parser feeds batches
     checkpoint_path: str | None = None  # write a snapshot after each interval
     resume_from: str | None = None  # restore a snapshot and skip its reads
@@ -215,6 +216,16 @@ class _DeviceStream:
     def minimizer_total(self) -> int:
         self._dispatch_group()
         return int(self.count)
+
+    def take_hist(self):
+        """Hand the device-resident histogram to the caller and reset the
+        carry — NO host transfer (the device flush consumes it in place)."""
+        import jax.numpy as jnp
+
+        self._dispatch_group()
+        h = self.hist
+        self.hist = jnp.zeros(self.nbins, dtype=jnp.int32)
+        return h
 
     def drain_into(self, spectrum) -> None:
         import jax.numpy as jnp
@@ -438,6 +449,19 @@ class _ShardedDeviceStream:
         self._dispatch_group()
         return int(np.asarray(self.count).sum())
 
+    def take_hist(self):
+        """Sum the per-shard histograms ON DEVICE and reset the carries;
+        returns a [nbins] device array for the device flush."""
+        import jax
+        import jax.numpy as jnp
+
+        self._dispatch_group()
+        h = _sum_shards(self.hist)
+        self.hist = jax.device_put(
+            jnp.zeros((self.ndev, self.nbins), dtype=jnp.int32), self._shard2d
+        )
+        return h
+
     def drain_into(self, spectrum) -> None:
         import jax
         import jax.numpy as jnp
@@ -470,6 +494,95 @@ class _ShardedDeviceStream:
             hmh.registers = np.maximum(
                 hmh.registers, np.asarray(self.hmh_regs).max(axis=0)
             )
+
+
+_sum_shards_jit = None
+
+
+def _sum_shards(hist):
+    global _sum_shards_jit
+    if _sum_shards_jit is None:
+        import jax
+        import jax.numpy as jnp
+
+        _sum_shards_jit = jax.jit(lambda x: x.astype(jnp.int64).sum(axis=0))
+    return _sum_shards_jit(hist)
+
+
+class _DeviceFlusher:
+    """PRODUCTION device histosketch flush (no-drift): the CMS update and
+    frequency estimates run exactly on device, the CWS argmin runs on device
+    with XLA exp/log, and the top-T candidates per slot are re-derived on
+    the host with the bit-exact Go ports (HistoSketch.apply_flush_candidates)
+    — bit-identical output, proven by the margin-count bound with a full
+    host-flush fallback if it ever trips (parallel/mesh.FLUSH_MARGIN_REL).
+
+    State: the CMS carry lives on device; the CWS tables upload once,
+    sharded over the mp axis (all local devices). hs.sketch/hs.weights stay
+    host-side (tiny) and update after every flush; hs.cms.sketch is synced
+    from the device on demand (checkpoints, end of stream)."""
+
+    def __init__(self, hs, nbins: int):
+        import jax
+        import jax.numpy as jnp
+
+        from hulk_tpu.parallel.mesh import (
+            FLUSH_TOP_T,
+            make_device_flush_candidates,
+            make_sketch_mesh,
+            shard_tables,
+        )
+        from hulk_tpu.sketch.countmin import cms_row_bins_table
+        from hulk_tpu.sketch.spectrum import MIN_USED_BINS, SpectrumError
+
+        self.hs = hs
+        self.nbins = nbins
+        self._min_used = MIN_USED_BINS
+        self._spectrum_error = SpectrumError
+        ndev = len(jax.local_devices())
+        self.mesh = make_sketch_mesh(
+            n_dp=1, n_mp=ndev, devices=jax.local_devices()
+        )
+        self.top_t = FLUSH_TOP_T
+        depth, width = hs.cms.sketch.shape
+        self.fn = make_device_flush_candidates(self.mesh, depth, width)
+        self.row_bins = jax.device_put(
+            cms_row_bins_table(nbins, depth, width).astype(np.int32)
+        )
+        self.tables = shard_tables(self.mesh, hs.cws)
+        # carry initialised from the host CMS (nonzero after checkpoint resume)
+        self.cms = jax.device_put(jnp.asarray(hs.cms.sketch, dtype=jnp.float64))
+
+    def flush_from(self, hist) -> None:
+        """Consume a device-resident [nbins] histogram (reference flush
+        semantics: no-op when untouched, fatal below MIN_USED_BINS)."""
+        used = int((hist != 0).sum())  # one scalar readback per interval
+        if used == 0:
+            return
+        if used / float(self.nbins) < self._min_used:
+            raise self._spectrum_error("not used yet")
+        cms_prev = self.cms
+        cms_out, cb, ce, cl, mc = self.fn(hist, self.row_bins, self.cms, *self.tables)
+        if self.hs.apply_flush_candidates(
+            np.asarray(cb), np.asarray(ce), np.asarray(cl), np.asarray(mc),
+            self.top_t,
+        ):
+            self.cms = cms_out
+            return
+        # margin overflow (see FLUSH_MARGIN_REL: never expected, but handled
+        # so exactness is unconditional): full exact host flush instead
+        import jax
+
+        log.info("\tdevice flush margin overflow; host fallback")
+        self.hs.cms.sketch = np.asarray(cms_prev)
+        h = np.asarray(hist).astype(np.float64)
+        ids = np.nonzero(h)[0].astype(np.int64)
+        self.hs.add_elements(ids, h[ids])
+        self.cms = jax.device_put(np.asarray(self.hs.cms.sketch, dtype=np.float64))
+
+    def sync_cms(self) -> None:
+        """Pull the device CMS carry into hs (checkpoints / end of run)."""
+        self.hs.cms.sketch = np.asarray(self.cms).astype(np.float64)
 
 
 def run_sketch_pipeline(
@@ -559,6 +672,22 @@ def run_sketch_pipeline(
         dev = _DeviceStream(cfg, nbins)
     else:
         dev = None
+
+    flusher = None
+    if cfg.device_flush:
+        if cfg.decay_ratio != 1.0:
+            raise PipelineError(
+                "device flush supports decayRatio=1.0 only (the drift scan's "
+                "replacement threshold evolves mid-flush; use the host flush)"
+            )
+        if dev is None:
+            raise PipelineError("device flush requires the device stream")
+        if multi_host:
+            raise PipelineError(
+                "device flush requires a single process (the reference "
+                "merges spectra before flushing once)"
+            )
+        flusher = _DeviceFlusher(hs, nbins)
 
     cut = cfg.interval if cfg.interval else None
     seek_resume = (
@@ -660,7 +789,14 @@ def run_sketch_pipeline(
                 log.info("\treached interval %d -> histosketching", seq_count // cut)
                 if dev is not None:
                     wait_flush()
-                    dev.drain_into(spectrum)
+                    hist_handle = None
+                    if flusher is not None:
+                        # hist handed off device-side; the host exact-select
+                        # runs in the worker thread, overlapped with the next
+                        # interval's streaming
+                        hist_handle = dev.take_hist()
+                    else:
+                        dev.drain_into(spectrum)
                     counters = snap_states = None
                     if cfg.checkpoint_path:
                         import copy
@@ -674,9 +810,16 @@ def run_sketch_pipeline(
                             copy.deepcopy(hmh),
                         )
                         dev.collect(*snap_states)
-                    pending = pool.submit(
-                        interval_flush, counters, snap_states, last_origin
-                    )
+
+                    def _interval_work(h=hist_handle, c=counters,
+                                       s=snap_states, o=last_origin):
+                        if flusher is not None:
+                            flusher.flush_from(h)
+                            if cfg.checkpoint_path:
+                                flusher.sync_cms()
+                        interval_flush(c, s, o)
+
+                    pending = pool.submit(_interval_work)
                 else:
                     interval_flush(
                         (seq_count, length_total, minimizer_count),
@@ -686,7 +829,11 @@ def run_sketch_pipeline(
         log.info("generating final histosketch of k-mer spectra...")
         wait_flush()
         if dev is not None:
-            dev.drain_into(spectrum)
+            if flusher is not None:
+                flusher.flush_from(dev.take_hist())
+                flusher.sync_cms()
+            else:
+                dev.drain_into(spectrum)
             dev.collect(kmv, khf, hmh)
             minimizer_count = minimizer_count + dev.minimizer_total()
 

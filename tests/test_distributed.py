@@ -141,3 +141,67 @@ def test_more_processes_than_files(tmp_path):
     multi = json.load(open(out_multi + ".json"))
     single = json.load(open(out_single + ".json"))
     assert multi["signatures"] == single["signatures"]
+
+
+def test_two_process_smash_matches_single(tmp_path):
+    """Distributed smash (sharded JSON loads -> allgathered mins/weights ->
+    per-process row stripes -> gathered matrix, process 0 writes) must
+    produce a byte-identical CSV to the single-process host run."""
+    # build 5 small sketches through the CLI
+    lines = gzip.open(FIXTURE, "rb").read().splitlines(keepends=True)
+    env = _env(HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu")
+    sketch_dir = tmp_path / "sketches"
+    sketch_dir.mkdir()
+    for i in range(5):
+        part = b"".join(lines[i * 400 : (i + 1) * 400])  # 100 reads each
+        fq = tmp_path / f"part{i}.fq"
+        fq.write_bytes(part)
+        r = subprocess.run(
+            [
+                sys.executable, "-m", "hulk_tpu.cli", "sketch",
+                "-f", str(fq), "-k", "11", "-s", "8",
+                "-o", str(sketch_dir / f"s{i}"), "-p", "1",
+            ],
+            env=env, cwd=tmp_path, capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+
+    # single-process reference CSV (host scalar path: N <= 64)
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "hulk_tpu.cli", "smash",
+            "-d", str(sketch_dir) + "/", "-m", "weightedjaccard",
+            "-o", str(tmp_path / "single"), "-k", "11",
+        ],
+        env=env, cwd=tmp_path, capture_output=True,
+    )
+    assert r.returncode == 0, r.stderr.decode(errors="replace")[-2000:]
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        penv = _env(
+            HULK_PLATFORM="cpu",
+            JAX_PLATFORMS="cpu",
+            HULK_COORDINATOR=f"127.0.0.1:{port}",
+            HULK_NUM_PROCS="2",
+            HULK_PROC_ID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "hulk_tpu.cli", "smash",
+                    "-d", str(sketch_dir) + "/", "-m", "weightedjaccard",
+                    "-o", str(tmp_path / "multi"), "-k", "11",
+                ],
+                env=penv, cwd=tmp_path,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+
+    single_csv = (tmp_path / "single.hulk-matrix.csv").read_bytes()
+    multi_csv = (tmp_path / "multi.hulk-matrix.csv").read_bytes()
+    assert multi_csv == single_csv

@@ -222,3 +222,26 @@ def test_dp_sharded_pipeline_interval_flushes():
     h2 = dict(r2.hulk_data.signatures)["histosketch"]
     assert np.array_equal(h1.get_sketch(), h2.get_sketch())
     assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+
+
+def test_sharded_smash_matches_single_device():
+    """Row-sharded weighted-Jaccard matrix over the 8-device mesh must be
+    BIT-identical to the single-device blocked kernel (same body, sharding
+    only partitions the row batch), including the row-slice entry point."""
+    import numpy as np
+
+    from hulk_tpu.ops.distance import pairwise_weighted_jaccard_dist
+    from hulk_tpu.parallel.smash import sharded_pairwise_wjd, sharded_wjd_rows
+
+    rng = np.random.default_rng(41)
+    n, s = 100, 42
+    mins = rng.integers(0, 1 << 40, (n, s), dtype=np.int64)
+    # duplicate some slots across rows so intersections are non-trivial
+    mins[1::3, :10] = mins[0, :10]
+    weights = rng.random((n, s)) * 1e-3
+    ref = np.asarray(pairwise_weighted_jaccard_dist(mins, weights))
+    shd = sharded_pairwise_wjd(mins, weights, ndev=8, block=16)
+    assert np.array_equal(ref, shd)
+
+    rows = sharded_wjd_rows(mins, weights, 37, 71, ndev=8, block=16)
+    assert np.array_equal(ref[37:71], rows)

@@ -487,3 +487,58 @@ def test_seek_resume_native_bit_identical(tmp_path):
     assert progress2["parse_bytes"] < raw1 * 2 / 3 + raw2 + (1 << 16)
     origins = [(b.file_idx, b.reads_in_file_end) for b in batches]
     assert origins[-1] == (1, 260)
+
+
+def test_device_flush_bit_identical(tables):
+    """The production device flush (device CMS + device argmin + exact
+    host candidate recheck) must produce BIT-identical histosketch mins,
+    weights, and CMS state vs the host flush, in final-only and interval
+    modes."""
+    import jax.numpy as jnp
+
+    reads = mkreads(220, length=100)
+    for interval in (0, 60):
+        r_host = run_cfg(reads, tables, interval=interval, device_stream=True,
+                         batch_size=32, data_parallel=False)
+        r_dev = run_cfg(reads, tables, interval=interval, device_stream=True,
+                        batch_size=32, data_parallel=False, device_flush=True)
+        hs_h = dict(r_host.hulk_data.signatures)["histosketch"]
+        hs_d = dict(r_dev.hulk_data.signatures)["histosketch"]
+        assert np.array_equal(hs_h.sketch, hs_d.sketch), interval
+        assert np.array_equal(
+            np.asarray(hs_h.sketch_weights).view(np.uint64),
+            np.asarray(hs_d.sketch_weights).view(np.uint64),
+        ), interval
+        assert np.array_equal(hs_h.cms.sketch, hs_d.cms.sketch), interval
+        assert r_host.minimizer_count == r_dev.minimizer_count
+        assert hs_h.get_md5() == hs_d.get_md5()
+
+
+def test_device_flush_drift_rejected(tables):
+    reads = mkreads(40)
+    import pytest as _pytest
+
+    with _pytest.raises(PipelineError, match="decayRatio=1.0"):
+        run_cfg(reads, tables, decay_ratio=0.5, device_stream=True,
+                device_flush=True, data_parallel=False)
+
+
+def test_device_flush_margin_overflow_falls_back(tables, monkeypatch):
+    """With an absurd margin bound every element is a 'candidate', the
+    margin count overflows top_t, and the flusher must fall back to the
+    exact host flush — output still bit-identical."""
+    import hulk_tpu.parallel.mesh as meshmod
+
+    monkeypatch.setattr(meshmod, "FLUSH_MARGIN_REL", 1e30)
+    reads = mkreads(220, length=100)
+    r_host = run_cfg(reads, tables, device_stream=True, batch_size=32,
+                     data_parallel=False)
+    r_dev = run_cfg(reads, tables, device_stream=True, batch_size=32,
+                    data_parallel=False, device_flush=True)
+    hs_h = dict(r_host.hulk_data.signatures)["histosketch"]
+    hs_d = dict(r_dev.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(hs_h.sketch, hs_d.sketch)
+    assert np.array_equal(
+        np.asarray(hs_h.sketch_weights).view(np.uint64),
+        np.asarray(hs_d.sketch_weights).view(np.uint64),
+    )
