@@ -89,6 +89,13 @@ def _load():
     lib.hulk_gunzip.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_int64,
     ]
+    lib.hulk_pack_group_batch.restype = None
+    lib.hulk_pack_group_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.hulk_touch_pages.restype = None
+    lib.hulk_touch_pages.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
     return lib
 
@@ -159,26 +166,83 @@ def gunzip_available() -> bool:
     return lib is not None and bool(lib.hulk_gunzip_available())
 
 
-def gunzip_bytes(data: bytes) -> np.ndarray | None:
+# Grow-only persistent output buffer: faulting in a fresh multi-hundred-MB
+# allocation during decompression measures ~2 s extra on the first call (the
+# kernel zeroes every page serially on the decompressor's thread); reusing
+# one warm buffer — pre-touched in parallel on growth — keeps gunzip at
+# libdeflate speed (~700-800 MB/s here) from the first file on.
+_gunzip_buf: np.ndarray | None = None
+
+
+def _gunzip_out(cap: int) -> np.ndarray:
+    global _gunzip_buf
+    if _gunzip_buf is None or _gunzip_buf.shape[0] < cap:
+        # floor at 512 MB: page faults cost ~17 us each here (~1.3 s for
+        # 500 MB of 4 KB pages, madvise(HUGEPAGE) notwithstanding), so pay
+        # the fault-in ONCE at first use — typically inside a warmup — and
+        # never on a subsequent (larger) file at this floor
+        cap = max(cap, 512 << 20)
+        _gunzip_buf = np.empty(cap, dtype=np.uint8)
+        _load().hulk_touch_pages(_ptr(_gunzip_buf), cap)
+    return _gunzip_buf
+
+
+def gunzip_bytes(data: bytes, copy: bool = True) -> np.ndarray | None:
     """Whole-buffer gzip decompression via libdeflate (~3x zlib). Returns a
     uint8 array, or None when libdeflate is unavailable or the data is not
     clean gzip (caller falls back to the zlib streaming path). Output buffer
     starts at 8x the compressed size and doubles on overflow (multi-member
-    and high-ratio inputs are handled by the native loop / the retry)."""
+    and high-ratio inputs are handled by the native loop / the retry).
+
+    copy=False returns a view into a persistent module-level buffer that is
+    INVALIDATED by the next gunzip_bytes call — only for callers that fully
+    consume (or copy out of) the result before decompressing again."""
     lib = _load()
     if lib is None or not lib.hulk_gunzip_available():
         return None
     src = np.frombuffer(data, dtype=np.uint8)
     cap = max(8 * src.shape[0], 1 << 20)
     while True:
-        out = np.empty(cap, dtype=np.uint8)
+        out = _gunzip_out(cap)
         n = lib.hulk_gunzip(_ptr(src), src.shape[0], _ptr(out), cap)
         if n >= 0:
-            return out[:n]
+            return out[:n].copy() if copy else out[:n]
         if n == -2:
             cap *= 2
             continue
         return None
+
+
+# ---- transfer-group packing ------------------------------------------------
+
+def pack_group(batches, g: int, r: int, l: int) -> np.ndarray | None:
+    """Fused native equivalent of ops.device_step.build_group_buffer, fed
+    straight from the parser's strided output: `batches` is a list of up to
+    `g` (codes[rows, stride] u8 C-contiguous, lengths[rows] i32) pairs; rows
+    beyond each batch's live count and batches beyond len(batches) become
+    dead pad (codes 5, length 0). Returns the flat u8 buffer (nibble-packed
+    codes [g, r, ceil(l/2)] + LE u16 lengths [g, r]) bit-identical to the
+    NumPy construction, or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    l2 = (l + 1) // 2
+    ncodes = g * r * l2
+    out = np.empty(ncodes + g * r * 2, dtype=np.uint8)
+    zero_rows = np.zeros(0, dtype=np.int32)
+    for i in range(g):
+        if i < len(batches):
+            codes, lengths = batches[i]
+            assert codes.flags.c_contiguous
+            rows, stride = codes.shape
+            lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        else:
+            codes, lengths, rows, stride = zero_rows, zero_rows, 0, 0
+        lib.hulk_pack_group_batch(
+            _ptr(codes), rows, stride, _ptr(lengths), r, l,
+            _ptr(out[i * r * l2:]), _ptr(out[ncodes + i * r * 2:]),
+        )
+    return out
 
 
 # ---- FASTQ packing ---------------------------------------------------------

@@ -19,6 +19,7 @@
 #include <cstring>
 #include <cmath>
 #include <dlfcn.h>
+#include <sys/mman.h>
 
 #ifdef _OPENMP
 #include <omp.h>
@@ -507,6 +508,63 @@ int64_t hulk_pack_fasta(const uint8_t* buf, int64_t len, int32_t* state_io,
     state_io[3] = emitted_any;
     *consumed_out = pos;
     return nreads;
+}
+
+// ---------------------------------------------------------------------------
+// Transfer-group packing (device_step.build_group_buffer, fused)
+// ---------------------------------------------------------------------------
+// The device stream ships G sub-batches as ONE flat uint8 buffer: nibble-
+// packed codes [G, R, ceil(L/2)] followed by little-endian u16 lengths
+// [G, R]. The NumPy construction (pad-to-bucket copy + putmask + strided
+// nibble OR + concatenate) costs ~4 full passes over the batch bytes; this
+// fuses pad + nibble-pack + length write into one OMP pass reading each code
+// byte once, straight from the parser's strided [rows, stride] output (no
+// padded intermediate is ever materialised). Rows >= rows_live become dead
+// pad rows (all 0x55 nibbles, length 0) — inert in every kernel, same as the
+// Python path's tail padding.
+//
+// Packs ONE sub-batch per call into its slice of the flat buffer; the caller
+// loops over the group (32 ctypes calls per ~22 MB buffer — negligible).
+void hulk_pack_group_batch(const uint8_t* codes, int64_t rows_live,
+                           int64_t stride, const int32_t* lengths, int64_t R,
+                           int64_t L, uint8_t* out_codes, uint8_t* out_lens) {
+    const int64_t L2 = (L + 1) / 2;
+    #pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < R; r++) {
+        uint8_t* dst = out_codes + r * L2;
+        if (r >= rows_live) {
+            memset(dst, 0x55, L2);
+            out_lens[r * 2] = 0;
+            out_lens[r * 2 + 1] = 0;
+            continue;
+        }
+        const uint8_t* src = codes + r * stride;
+        const int64_t len = lengths[r] < L ? lengths[r] : L;
+        // whole nibble pairs inside the read
+        int64_t j = 0;
+        for (; 2 * j + 1 < len; j++)
+            dst[j] = (uint8_t)(src[2 * j] | (src[2 * j + 1] << 4));
+        if (2 * j < len) {  // odd tail: low nibble real, high nibble pad
+            dst[j] = (uint8_t)(src[2 * j] | 0x50);
+            j++;
+        }
+        if (j < L2) memset(dst + j, 0x55, L2 - j);
+        const uint16_t l16 = (uint16_t)len;
+        out_lens[r * 2] = (uint8_t)(l16 & 0xFF);
+        out_lens[r * 2 + 1] = (uint8_t)(l16 >> 8);
+    }
+}
+
+// Parallel first-touch of a fresh allocation: faulting 100s of MB of 4 KB
+// pages measures ~17 us/page here (~2 s for 500 MB) when it happens serially
+// inside the decompressor. THP is in madvise mode on this kernel, so ask for
+// 2 MB pages first (~500x fewer faults), then fault everything in from both
+// cores off the critical path.
+void hulk_touch_pages(uint8_t* buf, int64_t n) {
+    const uintptr_t a = (uintptr_t)buf & ~(uintptr_t)4095;
+    madvise((void*)a, (size_t)(n + ((uintptr_t)buf - a)), MADV_HUGEPAGE);
+    #pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i += 4096) buf[i] = 0;
 }
 
 }  // extern "C"

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import gzip
 import sys
+from dataclasses import dataclass
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -22,6 +23,22 @@ from hulk_tpu.ops.encode import PackedReads, pack_reads
 
 class FastqError(ValueError):
     pass
+
+
+@dataclass
+class RawReads:
+    """An UNPADDED batch straight from the native parser: codes is the
+    parser's strided [rows, stride] array with garbage beyond each read's
+    length (the native transfer-group packer applies pad-5 semantics from
+    `lengths` when nibble-packing, so the padded intermediate is never
+    materialised). Only the single-device stream consumes these; every other
+    consumer gets padded PackedReads."""
+
+    codes: np.ndarray  # [rows, stride] uint8, C-contiguous, rows == live reads
+    lengths: np.ndarray  # [rows] int32 (0 allowed: empty records, as padded)
+    bucket: int  # the length bucket this batch's device shape uses
+    file_idx: int | None = None
+    reads_in_file_end: int | None = None
 
 
 def prefetch_batches(batches, depth: int = 16):
@@ -160,6 +177,7 @@ def batch_reads_native(
     start_file: int = 0,
     skip_reads: int = 0,
     progress: dict | None = None,
+    raw: bool = False,
 ) -> Iterator[PackedReads]:
     """FASTQ/FASTA batches via the native C++ parser/packer (files only).
 
@@ -177,6 +195,11 @@ def batch_reads_native(
     seek target. `progress`, when given, accrues "parse_bytes" — the bytes
     actually fed to the parser (tests assert resume re-parses only the
     tail).
+
+    raw=True emits RawReads (the parser's strided output, no padded copy)
+    for the single-device stream, whose native group packer applies the
+    identical pad-5 semantics during nibble-packing — bit-identical device
+    input, ~2 fewer full host passes per batch.
     """
     from hulk_tpu import native
 
@@ -197,6 +220,15 @@ def batch_reads_native(
         maxlen = int(lengths.max())
         bucket = next((x for x in length_buckets if maxlen <= x), max_read_len)
         R = lengths.shape[0]
+        emitted += R
+        file_emitted += R
+        if raw:
+            yield RawReads(
+                codes=np.ascontiguousarray(codes), lengths=lengths,
+                bucket=bucket, file_idx=cur_file,
+                reads_in_file_end=file_emitted,
+            )
+            return
         out_codes = np.empty((batch_size, bucket), dtype=np.uint8)
         out_codes[:R] = codes[:, :bucket]
         # pad positions beyond each read's length (the packer leaves them
@@ -205,8 +237,6 @@ def batch_reads_native(
         out_len = np.zeros(batch_size, dtype=np.int32)
         out_len[:R] = lengths
         np.putmask(out_codes, col >= out_len[:, None], np.uint8(5))
-        emitted += R
-        file_emitted += R
         yield PackedReads(
             codes=out_codes, lengths=out_len, file_idx=cur_file,
             reads_in_file_end=file_emitted,
@@ -242,11 +272,13 @@ def batch_reads_native(
             if _native.available() and _native.gunzip_available():
                 with open(path, "rb") as fh:
                     comp = fh.read()
-                raw = _native.gunzip_bytes(comp)
-                if raw is not None:
+                # copy=False: the persistent-buffer view is fully consumed
+                # (tobytes per chunk) before the next gunzip call
+                decomp = _native.gunzip_bytes(comp, copy=False)
+                if decomp is not None:
                     step = 1 << 24
-                    for i in range(0, raw.shape[0], step):
-                        yield raw[i : i + step].tobytes()
+                    for i in range(0, decomp.shape[0], step):
+                        yield decomp[i : i + step].tobytes()
                     return
                 # not clean gzip: fall through to the zlib streaming path
         fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")

@@ -70,6 +70,25 @@ class PipelineError(ValueError):
     pass
 
 
+def _pad_raw(b, r: int, l: int):
+    """Materialise a RawReads batch as the padded PackedReads equivalent
+    (rare paths only: the large-k fallback)."""
+    from hulk_tpu.ops.encode import PAD_CODE, PackedReads
+
+    rows = b.lengths.shape[0]
+    codes = np.full((r, l), PAD_CODE, dtype=np.uint8)
+    lengths = np.zeros(r, dtype=np.int32)
+    lengths[:rows] = b.lengths
+    col = np.arange(l, dtype=np.int32)[None, :]
+    codes[:rows] = np.where(
+        col < b.lengths[:, None], b.codes[:, :l], np.uint8(PAD_CODE)
+    )
+    return PackedReads(
+        codes=codes, lengths=lengths, file_idx=b.file_idx,
+        reads_in_file_end=b.reads_in_file_end,
+    )
+
+
 class _DeviceStream:
     """Device-resident spectrum + secondary-sketch accumulation.
 
@@ -115,23 +134,36 @@ class _DeviceStream:
             m = 1 << DEFAULT_P
         self.hmh_regs = jnp.zeros(m, dtype=jnp.uint64)
         self._staged: list = []  # host batches awaiting a grouped transfer
+        self._staged_key = None  # (R, L) device shape of the staged batches
 
     def feed(self, batch) -> None:
-        """Stage one batch; dispatch happens per transfer group. Never
-        synchronises with the device (the minimizer count accumulates in a
-        donated device scalar, read once at the end — per-step readbacks cost
-        a full tunnel round trip)."""
-        if self._staged and self._staged[0].codes.shape != batch.codes.shape:
+        """Stage one batch (padded PackedReads or parser-strided RawReads);
+        dispatch happens per transfer group. Never synchronises with the
+        device (the minimizer count accumulates in a donated device scalar,
+        read once at the end — per-step readbacks cost a full tunnel round
+        trip)."""
+        key = (
+            (self._R, batch.bucket)
+            if hasattr(batch, "bucket")
+            else batch.codes.shape
+        )
+        if self._staged and self._staged_key != key:
             self._dispatch_group()
+        self._staged_key = key
         self._staged.append(batch)
         if len(self._staged) >= self.GROUP:
             self._dispatch_group()
+
+    @property
+    def _R(self) -> int:
+        return self.cfg.batch_size
 
     def _dispatch_group(self) -> None:
         if not self._staged:
             return
         import jax
 
+        from hulk_tpu import native
         from hulk_tpu.ops.device_step import (
             build_group_buffer,
             fused_bits_ok,
@@ -142,10 +174,13 @@ class _DeviceStream:
 
         staged, self._staged = self._staged, []
         cfg = self.cfg
-        r, l = staged[0].codes.shape
+        r, l = self._staged_key
+        is_raw = hasattr(staged[0], "bucket")
         if not fused_bits_ok(cfg.kmer_size, r):
             # large-k fallback: read ids don't pack above the value bits, so
             # the scan-fused group step (single-sort dedup) is unavailable
+            if is_raw:
+                staged = [_pad_raw(b, r, l) for b in staged]
             codes3 = jax.device_put(
                 pack_codes4(np.stack([b.codes for b in staged]))
             )
@@ -153,15 +188,24 @@ class _DeviceStream:
             for i in range(len(staged)):
                 self._step(codes3[i], lengths2[i], staged[i].codes.shape)
             return
-        codes_list = [b.codes for b in staged]
-        lengths_list = [b.lengths for b in staged]
-        pad = self.GROUP - len(staged)
-        if pad:
-            dead_c = np.full((r, l), 5, dtype=np.uint8)
-            dead_l = np.zeros(r, dtype=np.int32)
-            codes_list += [dead_c] * pad
-            lengths_list += [dead_l] * pad
-        flatbuf = jax.device_put(build_group_buffer(codes_list, lengths_list))
+        if is_raw:
+            # fused native pad+nibble-pack straight from the strided parser
+            # output (bit-identical to build_group_buffer on the padded
+            # equivalent — tests/test_native.py)
+            flat = native.pack_group(
+                [(b.codes, b.lengths) for b in staged], self.GROUP, r, l
+            )
+        else:
+            codes_list = [b.codes for b in staged]
+            lengths_list = [b.lengths for b in staged]
+            pad = self.GROUP - len(staged)
+            if pad:
+                dead_c = np.full((r, l), 5, dtype=np.uint8)
+                dead_l = np.zeros(r, dtype=np.int32)
+                codes_list += [dead_c] * pad
+                lengths_list += [dead_l] * pad
+            flat = build_group_buffer(codes_list, lengths_list)
+        flatbuf = jax.device_put(flat)
         (
             self.hist, self.count, self.kmv_state, self.khf_state,
             self.hmh_regs,
@@ -714,7 +758,7 @@ def run_sketch_pipeline(
             )
         batches = batch_reads_native(
             cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut,
-            fasta=cfg.fasta, **kw,
+            fasta=cfg.fasta, raw=isinstance(dev, _DeviceStream), **kw,
         )
     else:
         batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)

@@ -240,3 +240,122 @@ def test_pipeline_native_fasta_matches_python(tmp_path):
     assert np.array_equal(h1.get_sketch(), h2.get_sketch())
     assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
     assert r1.minimizer_count == r2.minimizer_count
+
+
+def test_native_pack_group_matches_numpy():
+    """The fused native pad+nibble group packer is bit-identical to the NumPy
+    build_group_buffer construction on the padded equivalents, including
+    short batches, zero-length reads, odd buckets, and dead tail batches."""
+    from hulk_tpu.ops.device_step import build_group_buffer
+
+    rng = np.random.default_rng(0)
+    for L in (160, 31):
+        G_live, G, R, stride = 5, 6, 64, 256
+        raw_batches, codes_list, lengths_list = [], [], []
+        for g in range(G_live):
+            rows = [64, 64, 17, 1, 63][g]
+            codes = rng.integers(0, 6, (rows, stride), dtype=np.uint8)
+            lengths = rng.integers(0, L + 1, rows).astype(np.int32)
+            raw_batches.append((codes, lengths))
+            padded = np.full((R, L), 5, dtype=np.uint8)
+            plen = np.zeros(R, dtype=np.int32)
+            plen[:rows] = lengths
+            col = np.arange(L)[None, :]
+            padded[:rows] = np.where(col < lengths[:, None], codes[:, :L], 5)
+            codes_list.append(padded)
+            lengths_list.append(plen)
+        codes_list.append(np.full((R, L), 5, dtype=np.uint8))  # dead batch
+        lengths_list.append(np.zeros(R, dtype=np.int32))
+        ref = build_group_buffer(codes_list, lengths_list)
+        got = native.pack_group(raw_batches, G, R, L)
+        assert np.array_equal(ref, got)
+
+
+def test_pipeline_raw_lane_matches_host(tmp_path):
+    """input_paths + device_stream engages the RawReads lane (strided parser
+    output + native group packer); output must equal the exact host path,
+    including interval flushes and every secondary sketch."""
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    rng = np.random.default_rng(11)
+    f = tmp_path / "reads.fq"
+    with open(f, "wb") as fh:
+        for i in range(500):
+            n = int(rng.integers(60, 151))
+            seq = bytes(rng.choice(list(b"ACGTN"), p=[0.24] * 4 + [0.04], size=n).tolist())
+            fh.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * n + b"\n")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, interval=150, kmv=True, khf=True, hmh=True)
+    r_host = run_sketch_pipeline(
+        stream_reads([str(f)]), SketchConfig(**kw, device_stream=False)
+    )
+    r_raw = run_sketch_pipeline(
+        None,
+        SketchConfig(**kw, device_stream=True, batch_size=64,
+                     input_paths=[str(f)]),
+    )
+    for name, sig in r_host.hulk_data.signatures:
+        other = dict(r_raw.hulk_data.signatures)[name]
+        assert np.array_equal(sig.get_sketch(), other.get_sketch()), name
+    h1 = dict(r_host.hulk_data.signatures)["histosketch"]
+    h2 = dict(r_raw.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+    assert r_host.minimizer_count == r_raw.minimizer_count
+    assert r_host.seq_count == r_raw.seq_count
+
+
+def test_pipeline_raw_lane_large_k_fallback(tmp_path):
+    """k=28 fails fused_bits_ok at any R>1, so the raw lane must materialise
+    padded batches (_pad_raw) for the two-sort fallback — same output."""
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    rng = np.random.default_rng(13)
+    f = tmp_path / "reads.fq"
+    with open(f, "wb") as fh:
+        for i in range(120):
+            seq = bytes(rng.choice(list(b"ACGT"), size=150).tolist())
+            fh.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * 150 + b"\n")
+    kw = dict(kmer_size=28, window_size=9, sketch_size=8, spectrum_size=11 ** 4)
+    r_host = run_sketch_pipeline(
+        stream_reads([str(f)]), SketchConfig(**kw, device_stream=False)
+    )
+    r_raw = run_sketch_pipeline(
+        None,
+        SketchConfig(**kw, device_stream=True, batch_size=32,
+                     input_paths=[str(f)]),
+    )
+    h1 = dict(r_host.hulk_data.signatures)["histosketch"]
+    h2 = dict(r_raw.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.get_sketch(), h2.get_sketch())
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+    assert r_host.minimizer_count == r_raw.minimizer_count
+
+
+def test_pipeline_raw_lane_fasta(tmp_path):
+    """FASTA + device stream also rides the raw lane (same packer contract)."""
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    rng = np.random.default_rng(17)
+    f = tmp_path / "reads.fasta"
+    with open(f, "wb") as fh:
+        for i in range(200):
+            seq = bytes(rng.choice(list(b"ACGT"), size=130).tolist())
+            fh.write(b">r%d\n" % i + seq[:70] + b"\n" + seq[70:] + b"\n")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, fasta=True)
+    r_host = run_sketch_pipeline(
+        stream_reads([str(f)], fasta=True), SketchConfig(**kw, device_stream=False)
+    )
+    r_raw = run_sketch_pipeline(
+        None,
+        SketchConfig(**kw, device_stream=True, batch_size=64,
+                     input_paths=[str(f)]),
+    )
+    h1 = dict(r_host.hulk_data.signatures)["histosketch"]
+    h2 = dict(r_raw.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.get_sketch(), h2.get_sketch())
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+    assert r_host.minimizer_count == r_raw.minimizer_count
