@@ -94,6 +94,12 @@ def _load():
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.hulk_pack_group_batch2.restype = None
+    lib.hulk_pack_group_batch2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.hulk_touch_pages.restype = None
     lib.hulk_touch_pages.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     _lib = lib
@@ -241,6 +247,37 @@ def pack_group(batches, g: int, r: int, l: int) -> np.ndarray | None:
         lib.hulk_pack_group_batch(
             _ptr(codes), rows, stride, _ptr(lengths), r, l,
             _ptr(out[i * r * l2:]), _ptr(out[ncodes + i * r * 2:]),
+        )
+    return out
+
+
+def pack_group2(batches, g: int, r: int, l: int) -> np.ndarray | None:
+    """v2 flat transfer buffer: 2-bit codes [g, r, l/4] + N bitmask
+    [g, r, l/8] + LE u16 lengths [g, r] (see hulk_pack_group_batch2).
+    Requires l % 8 == 0; same batch contract as pack_group, plus: in-read
+    codes must be the parser alphabet 0..4 (NT4 output — any >= 4 rebuilds
+    as 4 on device, whereas the nibble layout passes bytes through)."""
+    lib = _load()
+    if lib is None:
+        return None
+    assert l % 8 == 0
+    l4, l8 = l // 4, l // 8
+    ncodes = g * r * l4
+    nmask = g * r * l8
+    out = np.empty(ncodes + nmask + g * r * 2, dtype=np.uint8)
+    zero_rows = np.zeros(0, dtype=np.int32)
+    for i in range(g):
+        if i < len(batches):
+            codes, lengths = batches[i]
+            assert codes.flags.c_contiguous
+            rows, stride = codes.shape
+            lengths = np.ascontiguousarray(lengths, dtype=np.int32)
+        else:
+            codes, lengths, rows, stride = zero_rows, zero_rows, 0, 0
+        lib.hulk_pack_group_batch2(
+            _ptr(codes), rows, stride, _ptr(lengths), r, l,
+            _ptr(out[i * r * l4:]), _ptr(out[ncodes + i * r * l8:]),
+            _ptr(out[ncodes + nmask + i * r * 2:]),
         )
     return out
 

@@ -555,6 +555,49 @@ void hulk_pack_group_batch(const uint8_t* codes, int64_t rows_live,
     }
 }
 
+// v2 layout: 2-bit codes + N bitmask (wire entropy cut). The tunnel wire
+// charges ~per compressed byte, but its compressor/checksum work scales with
+// RAW bytes on the host CPU — measured 40% faster per group than the nibble
+// layout. Sections per group: [G, R, L/4] 2-bit codes (position p in bits
+// 2*(p%4) of byte p/4), [G, R, L/8] N bitmask (position p in bit 7-(p%8) of
+// byte p/8 — np.packbits big-endian order), [G, R] LE u16 lengths. Codes
+// >= 4 (N) pack as 0 with the mask bit set; the device rebuilds the exact
+// padded codes as where(pos >= len, 5, where(maskbit, 4, code2)). Requires
+// L % 8 == 0 (every production length bucket is).
+void hulk_pack_group_batch2(const uint8_t* codes, int64_t rows_live,
+                            int64_t stride, const int32_t* lengths, int64_t R,
+                            int64_t L, uint8_t* out_codes, uint8_t* out_mask,
+                            uint8_t* out_lens) {
+    const int64_t L4 = L / 4, L8 = L / 8;
+    #pragma omp parallel for schedule(static)
+    for (int64_t r = 0; r < R; r++) {
+        uint8_t* dst = out_codes + r * L4;
+        uint8_t* msk = out_mask + r * L8;
+        if (r >= rows_live) {
+            memset(dst, 0, L4);
+            memset(msk, 0, L8);
+            out_lens[r * 2] = 0;
+            out_lens[r * 2 + 1] = 0;
+            continue;
+        }
+        const uint8_t* src = codes + r * stride;
+        const int64_t len = lengths[r] < L ? lengths[r] : L;
+        memset(dst, 0, L4);
+        memset(msk, 0, L8);
+        for (int64_t p = 0; p < len; p++) {
+            const uint8_t c = src[p];
+            if (c >= 4) {
+                msk[p >> 3] |= (uint8_t)(1u << (7 - (p & 7)));
+            } else {
+                dst[p >> 2] |= (uint8_t)(c << (2 * (p & 3)));
+            }
+        }
+        const uint16_t l16 = (uint16_t)len;
+        out_lens[r * 2] = (uint8_t)(l16 & 0xFF);
+        out_lens[r * 2 + 1] = (uint8_t)(l16 >> 8);
+    }
+}
+
 // Parallel first-touch of a fresh allocation: faulting 100s of MB of 4 KB
 // pages measures ~17 us/page here (~2 s for 500 MB) when it happens serially
 // inside the decompressor. THP is in madvise mode on this kernel, so ask for

@@ -184,6 +184,26 @@ def unpack_codes4(packed):
     return jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1], -1)
 
 
+def unpack_codes2(codes2, mask8, lengths):
+    """Device-side reconstruction of the exact padded codes from the v2
+    transfer layout (hulk_pack_group_batch2): 2-bit codes [.., L/4] (position
+    p in bits 2*(p%4)), N bitmask [.., L/8] (position p in bit 7-(p%8),
+    np.packbits order), per-row lengths. Returns [.., L] u8 codes identical
+    to the nibble path: 0..3 bases, 4 where the mask bit is set (N), 5 at and
+    beyond each read's length."""
+    shifts2 = np.arange(4, dtype=np.uint8) * np.uint8(2)
+    c = ((codes2[..., None] >> shifts2) & jnp.uint8(3)).reshape(
+        *codes2.shape[:-1], -1
+    )
+    shifts1 = np.uint8(7) - np.arange(8, dtype=np.uint8)
+    m = ((mask8[..., None] >> shifts1) & jnp.uint8(1)).reshape(
+        *mask8.shape[:-1], -1
+    )
+    c = jnp.where(m != 0, jnp.uint8(4), c)
+    pos = np.arange(c.shape[-1], dtype=np.int32)
+    return jnp.where(pos >= lengths[..., None], jnp.uint8(5), c)
+
+
 @partial(jax.jit, static_argnames=("vbits", "pallas"), donate_argnums=(0,))
 def bin_scatter_keys(hist, skeys, *, vbits: int, pallas: bool = False):
     """Bin a compacted slice of sorted (read_id << vbits | value) keys,
@@ -338,11 +358,28 @@ def _group_views(flatbuf, g: int, r: int, l: int):
     return codes, lengths
 
 
+def _group_views2(flatbuf, g: int, r: int, l: int):
+    """Device side for the v2 layout: 2-bit codes + N bitmask + lengths."""
+    ncodes = g * r * (l // 4)
+    nmask = g * r * (l // 8)
+    codes2 = jax.lax.slice(flatbuf, (0,), (ncodes,)).reshape(g, r, l // 4)
+    mask8 = jax.lax.slice(flatbuf, (ncodes,), (ncodes + nmask,)).reshape(
+        g, r, l // 8
+    )
+    lraw = jax.lax.slice(
+        flatbuf, (ncodes + nmask,), (ncodes + nmask + g * r * 2,)
+    )
+    lengths = jax.lax.bitcast_convert_type(
+        lraw.reshape(g, r, 2), jnp.uint16
+    ).astype(jnp.int32)
+    return codes2, mask8, lengths
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "g", "r", "l", "k", "w", "bucket", "pallas",
-        "use_kmv", "use_khf", "use_hmh", "hmh_pqr",
+        "use_kmv", "use_khf", "use_hmh", "hmh_pqr", "packed2",
     ),
     donate_argnums=(0, 1, 2, 3, 4),
 )
@@ -350,22 +387,34 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
                              r: int, l: int, k: int, w: int, bucket: int,
                              pallas: bool = False, use_kmv: bool = False,
                              use_khf: bool = False, use_hmh: bool = False,
-                             hmh_pqr=None):
+                             hmh_pqr=None, packed2: bool = False):
     """One transfer group of G sub-batches as a single dispatch.
 
     Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
     hmh [m] u64 (dummy [1] arrays when the corresponding flag is off).
     Bit-equal to G calls of sketch_stream_step_fused + the device sketch
-    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r)."""
+    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r).
+    packed2 selects the v2 flat layout (2-bit codes + N bitmask; identical
+    reconstructed codes, ~25% fewer transfer bytes)."""
     from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
 
-    codes, lengths = _group_views(flatbuf, g, r, l)
+    if packed2:
+        codes, mask8, lengths = _group_views2(flatbuf, g, r, l)
+        xs_in = (codes, mask8, lengths)
+    else:
+        codes, lengths = _group_views(flatbuf, g, r, l)
+        xs_in = (codes, lengths)
 
     def body(carry, xs):
         hist, count, kmv, khf, hmh = carry
-        codes_g, len_g = xs
+        if packed2:
+            codes_g, mask_g, len_g = xs
+            codes_full = unpack_codes2(codes_g, mask_g, len_g)
+        else:
+            codes_g, len_g = xs
+            codes_full = unpack_codes4(codes_g)
         hist, count, svals = stream_step_fused_body(
-            hist, count, unpack_codes4(codes_g), len_g,
+            hist, count, codes_full, len_g,
             k=k, w=w, bucket=bucket, pallas=pallas,
         )
         if use_kmv:
@@ -378,7 +427,7 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
         return (hist, count, kmv, khf, hmh), None
 
     (hist, count, kmv, khf, hmh), _ = jax.lax.scan(
-        body, (hist, count, kmv, khf, hmh), (codes, lengths)
+        body, (hist, count, kmv, khf, hmh), xs_in
     )
     return hist, count, kmv, khf, hmh
 

@@ -135,6 +135,18 @@ class _DeviceStream:
         self.hmh_regs = jnp.zeros(m, dtype=jnp.uint64)
         self._staged: list = []  # host batches awaiting a grouped transfer
         self._staged_key = None  # (R, L) device shape of the staged batches
+        # Group pack + host->device transfer + dispatch run on a dedicated
+        # worker: the transfer blocks on the tunnel wire (~hundreds of ms per
+        # group), and absorbing that wait here lets the producer keep parsing
+        # instead of serialising parse -> transfer -> parse. One thread keeps
+        # the donated-carry chain ordered; the queue is bounded (each pending
+        # group pins ~64 MB of staged host batches).
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._exec = ThreadPoolExecutor(1, thread_name_prefix="hulk-dispatch")
+        self._futs: "deque" = deque()
+        self._max_pending = 3
 
     def feed(self, batch) -> None:
         """Stage one batch (padded PackedReads or parser-strided RawReads);
@@ -148,19 +160,35 @@ class _DeviceStream:
             else batch.codes.shape
         )
         if self._staged and self._staged_key != key:
-            self._dispatch_group()
+            self._flush_staged()
         self._staged_key = key
         self._staged.append(batch)
         if len(self._staged) >= self.GROUP:
-            self._dispatch_group()
+            self._flush_staged()
 
     @property
     def _R(self) -> int:
         return self.cfg.batch_size
 
-    def _dispatch_group(self) -> None:
+    def _flush_staged(self) -> None:
+        """Hand the staged group to the dispatch worker (bounded queue)."""
         if not self._staged:
             return
+        staged, self._staged = self._staged, []
+        while len(self._futs) >= self._max_pending:
+            self._futs.popleft().result()
+        self._futs.append(
+            self._exec.submit(self._dispatch_group, staged, self._staged_key)
+        )
+
+    def _sync(self) -> None:
+        """Flush staged batches and wait until the worker has dispatched
+        everything (device execution itself stays async)."""
+        self._flush_staged()
+        while self._futs:
+            self._futs.popleft().result()
+
+    def _dispatch_group(self, staged, key) -> None:
         import jax
 
         from hulk_tpu import native
@@ -172,9 +200,8 @@ class _DeviceStream:
             stream_bucket,
         )
 
-        staged, self._staged = self._staged, []
         cfg = self.cfg
-        r, l = self._staged_key
+        r, l = key
         is_raw = hasattr(staged[0], "bucket")
         if not fused_bits_ok(cfg.kmer_size, r):
             # large-k fallback: read ids don't pack above the value bits, so
@@ -188,13 +215,18 @@ class _DeviceStream:
             for i in range(len(staged)):
                 self._step(codes3[i], lengths2[i], staged[i].codes.shape)
             return
+        packed2 = False
         if is_raw:
-            # fused native pad+nibble-pack straight from the strided parser
-            # output (bit-identical to build_group_buffer on the padded
-            # equivalent — tests/test_native.py)
-            flat = native.pack_group(
-                [(b.codes, b.lengths) for b in staged], self.GROUP, r, l
-            )
+            # fused native pad+pack straight from the strided parser output
+            # (bit-identical device codes either way — tests/test_native.py).
+            # v2 (2-bit + N bitmask) when the bucket allows: ~25% fewer raw
+            # transfer bytes, measured ~40% faster through the tunnel wire.
+            pairs = [(b.codes, b.lengths) for b in staged]
+            if l % 8 == 0:
+                flat = native.pack_group2(pairs, self.GROUP, r, l)
+                packed2 = True
+            else:
+                flat = native.pack_group(pairs, self.GROUP, r, l)
         else:
             codes_list = [b.codes for b in staged]
             lengths_list = [b.lengths for b in staged]
@@ -215,7 +247,7 @@ class _DeviceStream:
             g=self.GROUP, r=r, l=l, k=cfg.kmer_size, w=cfg.window_size,
             bucket=stream_bucket(r, r * (l + l % 2)), pallas=self.pallas,
             use_kmv=cfg.kmv, use_khf=cfg.khf, use_hmh=cfg.hmh,
-            hmh_pqr=self.hmh_pqr,
+            hmh_pqr=self.hmh_pqr, packed2=packed2,
         )
 
     def _step(self, codes, lengths, shape) -> None:
@@ -258,7 +290,7 @@ class _DeviceStream:
             self.hmh_regs = hmh_update(self.hmh_regs, svals, p=p_, q=q_, r=r_)
 
     def minimizer_total(self) -> int:
-        self._dispatch_group()
+        self._sync()
         return int(self.count)
 
     def take_hist(self):
@@ -266,7 +298,7 @@ class _DeviceStream:
         carry — NO host transfer (the device flush consumes it in place)."""
         import jax.numpy as jnp
 
-        self._dispatch_group()
+        self._sync()
         h = self.hist
         self.hist = jnp.zeros(self.nbins, dtype=jnp.int32)
         return h
@@ -274,7 +306,7 @@ class _DeviceStream:
     def drain_into(self, spectrum) -> None:
         import jax.numpy as jnp
 
-        self._dispatch_group()
+        self._sync()
         h = np.asarray(self.hist).astype(np.float64)
         if h.any():
             spectrum.add_dense(h)
@@ -284,7 +316,7 @@ class _DeviceStream:
         """MERGE device states into the host objects (merge, not overwrite,
         so resumed-from-checkpoint host state survives: bottom-k union /
         elementwise min / register max are the sketches' exact merges)."""
-        self._dispatch_group()
+        self._sync()
         if kmv is not None and self.kmv_state is not None:
             vals = np.asarray(self.kmv_state)
             vals = vals[vals != np.uint64(0xFFFFFFFFFFFFFFFF)]
@@ -909,6 +941,8 @@ def run_sketch_pipeline(
         flush()
     finally:
         pool.shutdown(wait=False)
+        if dev is not None and hasattr(dev, "_exec"):
+            dev._exec.shutdown(wait=False)
 
     if seq_count == 0:
         raise PipelineError("no sequences received")

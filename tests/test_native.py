@@ -359,3 +359,59 @@ def test_pipeline_raw_lane_fasta(tmp_path):
     assert np.array_equal(h1.get_sketch(), h2.get_sketch())
     assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
     assert r_host.minimizer_count == r_raw.minimizer_count
+
+
+def test_native_pack_group2_roundtrip():
+    """v2 layout (2-bit + N bitmask): device-side unpack_codes2 reconstructs
+    EXACTLY the padded codes the nibble path ships, and the group step over a
+    v2 buffer is bit-identical to the nibble group step."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        _group_views,
+        _group_views2,
+        sketch_stream_group_step,
+        stream_bucket,
+        unpack_codes2,
+        unpack_codes4,
+    )
+
+    rng = np.random.default_rng(3)
+    G, R, L, stride = 3, 32, 64, 128
+    raw_batches = []
+    for g in range(G):
+        rows = [32, 7, 31][g]
+        # parser alphabet is 0..4 (NT4 never yields 5); Ns planted at ~8%
+        codes = rng.choice(
+            np.array([0, 1, 2, 3, 4], dtype=np.uint8), size=(rows, stride),
+            p=[0.23, 0.23, 0.23, 0.23, 0.08],
+        )
+        lengths = rng.integers(0, L + 1, rows).astype(np.int32)
+        raw_batches.append((codes, lengths))
+    f4 = native.pack_group(raw_batches, G, R, L)
+    f2 = native.pack_group2(raw_batches, G, R, L)
+    c4, l4 = _group_views(jnp.asarray(f4), G, R, L)
+    c2, m2, l2 = _group_views2(jnp.asarray(f2), G, R, L)
+    assert np.array_equal(np.asarray(l4), np.asarray(l2))
+    full4 = np.asarray(unpack_codes4(c4))
+    full2 = np.asarray(unpack_codes2(c2, m2, l2))
+    assert np.array_equal(full4, full2)
+
+    # group step equality (k small so fused_bits_ok holds at R=32)
+    def run(flat, packed2):
+        hist = jnp.zeros(11 ** 4, dtype=jnp.int32)
+        count = jnp.zeros((), dtype=jnp.int64)
+        s = jnp.full(8, 0xFFFFFFFFFFFFFFFF, dtype=jnp.uint64)
+        h = jnp.zeros(1, dtype=jnp.uint64)
+        out = sketch_stream_group_step(
+            hist, count, s, s.copy(), h, jnp.asarray(flat), g=G, r=R, l=L,
+            k=11, w=5, bucket=stream_bucket(R, R * L), pallas=False,
+            use_kmv=True, use_khf=True, packed2=packed2,
+        )
+        return [np.asarray(x) for x in out]
+
+    o4 = run(f4, False)
+    o2 = run(f2, True)
+    for a, b in zip(o4, o2):
+        assert np.array_equal(a, b)
