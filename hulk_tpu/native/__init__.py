@@ -77,6 +77,14 @@ def _load():
     ]
     lib.hulk_set_threads.argtypes = [ctypes.c_int32]
     lib.hulk_set_threads.restype = None
+    lib.hulk_count_lines.restype = ctypes.c_int64
+    lib.hulk_count_lines.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.hulk_pack_fastq_par.restype = ctypes.c_int64
+    lib.hulk_pack_fastq_par.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+        ctypes.c_void_p,
+    ]
     lib.hulk_pack_fasta.restype = ctypes.c_int64
     lib.hulk_pack_fasta.argtypes = [
         ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -284,6 +292,20 @@ def pack_group2(batches, g: int, r: int, l: int) -> np.ndarray | None:
 
 # ---- FASTQ packing ---------------------------------------------------------
 
+def _rfind_nl(a: np.ndarray) -> int:
+    """Index of the last 0x0A in a uint8 array (-1 if none): backward block
+    scan, so whole-buffer feeds don't pay a full-array pass."""
+    end = a.shape[0]
+    step = 1024
+    while end > 0:
+        s = max(0, end - step)
+        idx = np.flatnonzero(a[s:end] == 0x0A)
+        if idx.shape[0]:
+            return s + int(idx[-1])
+        end = s
+        step *= 8
+    return -1
+
 class NativeFastqPacker:
     """Streaming FASTQ parser+packer over decompressed chunks.
 
@@ -301,15 +323,67 @@ class NativeFastqPacker:
         self.stride = min(initial_stride, cap_len)
         self.phase = np.zeros(1, dtype=np.int32)
         self._leftover = b""
+        self._pool: list = []  # reusable [rows, stride] codes bases
 
-    def feed(self, chunk: bytes):
-        """Consume a chunk; yields (codes [R, stride], lengths [R]) batches."""
+    def _codes_buf(self, cap: int) -> np.ndarray:
+        """Pooled codes allocation: page faults cost ~17 us each here, so a
+        fresh ~13 MB array per chunk costs more than parsing it. A base is
+        reusable once nothing outside the pool references it (the emitted
+        row-slices hold their base alive, so refcount==3 — pool entry, loop
+        var, getrefcount arg — proves all views are gone)."""
+        import sys
+
+        for a in self._pool:
+            if (
+                a.shape[0] >= cap
+                and a.shape[1] == self.stride
+                and sys.getrefcount(a) == 3
+            ):
+                return a
+        rows = max(cap, 1 << 16)
+        a = np.empty((rows, self.stride), dtype=np.uint8)
+        self._lib.hulk_touch_pages(_ptr(a), a.nbytes)
+        self._pool = [x for x in self._pool if x.shape[1] == self.stride][-3:]
+        self._pool.append(a)
+        return a
+
+    # chunks at least this big take the OMP two-pass parser (below this the
+    # parallel ramp-up costs more than it saves)
+    PAR_MIN_BYTES = 1 << 20
+
+    def feed(self, chunk):
+        """Consume a chunk (bytes, or a uint8 ndarray that stays valid until
+        this call returns); yields (codes [R, stride], lengths [R]) pairs.
+        Large chunks parse in parallel into ONE big strided pair (the caller
+        slices to batch size); small chunks take the serial per-cap loop.
+        Both produce identical rows."""
+        if isinstance(chunk, np.ndarray):
+            if self._leftover:
+                data = np.concatenate(
+                    [np.frombuffer(self._leftover, dtype=np.uint8), chunk]
+                )
+            else:
+                data = chunk
+            cut = _rfind_nl(data) + 1
+            self._leftover = data[cut:].tobytes()
+            buf = data[:cut]
+            if buf.shape[0] >= self.PAR_MIN_BYTES:
+                return self._feed_par(buf)
+            return self._feed_serial(bytes(buf))
         data = self._leftover + chunk
         # only whole lines go to the parser
         cut = data.rfind(b"\n") + 1
         self._leftover = data[cut:]
         data = data[:cut]
         buf = np.frombuffer(data, dtype=np.uint8)
+        if buf.shape[0] >= self.PAR_MIN_BYTES:
+            return self._feed_par(buf)
+        return self._feed_serial_buf(buf)
+
+    def _feed_serial(self, data: bytes):
+        return self._feed_serial_buf(np.frombuffer(data, dtype=np.uint8))
+
+    def _feed_serial_buf(self, buf):
         pos = 0
         out = []
         while pos < buf.shape[0]:
@@ -337,6 +411,34 @@ class NativeFastqPacker:
             out.append((codes[:nreads], lengths[:nreads]))
         return out
 
+    def _feed_par(self, buf: np.ndarray):
+        """OMP two-pass parse of a whole-lines buffer (hulk_pack_fastq_par):
+        one [nreads, stride] pair out, rows identical to the serial loop."""
+        nlines = self._lib.hulk_count_lines(_ptr(buf), buf.shape[0])
+        cap = nlines // 4 + 2
+        while True:
+            codes = self._codes_buf(cap)
+            lengths = np.zeros(cap, dtype=np.int32)
+            consumed = np.zeros(1, dtype=np.int64)
+            phase_out = np.zeros(1, dtype=np.int32)
+            n = self._lib.hulk_pack_fastq_par(
+                _ptr(buf), buf.shape[0], int(self.phase[0]), _ptr(codes),
+                _ptr(lengths), cap, self.stride, _ptr(consumed),
+                _ptr(phase_out),
+            )
+            assert n >= 0, "cap sized from hulk_count_lines"
+            if n and int(lengths[:n].max()) >= self.stride:
+                if self.stride >= self.cap_len:
+                    raise ValueError(
+                        f"read exceeds max supported length {self.cap_len}"
+                    )
+                self.stride = min(self.stride * 4, self.cap_len)
+                continue
+            break
+        assert int(consumed[0]) == buf.shape[0]  # buffer ends on a newline
+        self.phase[0] = int(phase_out[0])
+        return [(codes[:n], lengths[:n])] if n else []
+
     def end_of_file(self):
         """Complete a final line missing its newline; resets the 4-line phase."""
         out = self.feed(b"\n") if self._leftover else []
@@ -362,7 +464,9 @@ class NativeFastaPacker:
         self.carry = np.zeros(cap_len, dtype=np.uint8)
         self._leftover = b""
 
-    def feed(self, chunk: bytes):
+    def feed(self, chunk):
+        if isinstance(chunk, np.ndarray):  # whole-buffer gunzip path
+            chunk = chunk.tobytes()
         data = self._leftover + chunk
         cut = data.rfind(b"\n") + 1
         self._leftover = data[cut:]

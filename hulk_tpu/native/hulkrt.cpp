@@ -511,6 +511,114 @@ int64_t hulk_pack_fasta(const uint8_t* buf, int64_t len, int32_t* state_io,
 }
 
 // ---------------------------------------------------------------------------
+// Parallel FASTQ parse (OMP two-pass; VERDICT r3 item 2)
+// ---------------------------------------------------------------------------
+// The serial parser above tops out ~1.4 GB/s on one core; at p=2 these split
+// the chunk across threads. Pass 1 counts newlines per byte-slice (memchr
+// speed); a serial prefix sum gives each slice its starting global line
+// index; pass 2 re-walks each slice's TERMINATORS (a line belongs to the
+// slice holding its '\n'), deriving each sequence line's read row from its
+// global line index — so rows land exactly where the serial parser would
+// put them, in parallel, with no cross-thread ordering.
+
+int64_t hulk_count_lines(const uint8_t* buf, int64_t len) {
+    int64_t total = 0;
+    #pragma omp parallel reduction(+:total)
+    {
+        const int nt = omp_get_num_threads();
+        const int t = omp_get_thread_num();
+        const int64_t b0 = len * t / nt, b1 = len * (t + 1) / nt;
+        const uint8_t* p = buf + b0;
+        const uint8_t* end = buf + b1;
+        while (p < end) {
+            const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+            if (!nl) break;
+            total++;
+            p = nl + 1;
+        }
+    }
+    return total;
+}
+
+// Parse ALL whole lines of buf (caller pre-splits at the last newline) into
+// codes[cap_reads, stride]/lengths. phase: position within the 4-line record
+// at buf[0] (0..3). Returns the number of reads packed; *consumed_out = byte
+// after the last newline; *phase_out = phase after the final line. Reads
+// longer than stride-1 are truncated to stride (caller detects
+// lengths >= stride and retries wider, same protocol as hulk_pack_fastq).
+// cap_reads must be >= the number of sequence lines (from hulk_count_lines).
+int64_t hulk_pack_fastq_par(const uint8_t* buf, int64_t len, int32_t phase,
+                            uint8_t* codes, int32_t* lengths,
+                            int64_t cap_reads, int64_t stride,
+                            int64_t* consumed_out, int32_t* phase_out) {
+    nt4_init();
+    const int64_t o = (int64_t)((1 - phase) & 3);  // global idx of 1st seq line
+    int64_t nthreads = 1;
+    #ifdef _OPENMP
+    nthreads = omp_get_max_threads();
+    #endif
+    // Fixed slice count independent of the actual OMP team size, so pass 1
+    // and pass 2 always agree on slice boundaries.
+    if (nthreads > 64) nthreads = 64;
+    const int64_t S = nthreads;
+    int64_t counts[64] = {0};
+    // pass 1: newline count per byte-slice
+    #pragma omp parallel for schedule(static, 1)
+    for (int64_t s = 0; s < S; s++) {
+        const int64_t b0 = len * s / S, b1 = len * (s + 1) / S;
+        int64_t c = 0;
+        const uint8_t* p = buf + b0;
+        const uint8_t* end = buf + b1;
+        while (p < end) {
+            const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+            if (!nl) break;
+            c++;
+            p = nl + 1;
+        }
+        counts[s] = c;
+    }
+    int64_t base[65];
+    base[0] = 0;
+    for (int64_t s = 0; s < S; s++) base[s + 1] = base[s] + counts[s];
+    const int64_t total_lines = base[S];
+    int64_t nreads = (total_lines > o) ? (total_lines - o + 3) / 4 : 0;
+    if (nreads > cap_reads) return -1;  // caller sized via hulk_count_lines
+    // pass 2: pack sequence lines, each slice handling lines whose '\n' it owns
+    int64_t last_nl = -1;
+    #pragma omp parallel for schedule(static, 1) reduction(max:last_nl)
+    for (int64_t s = 0; s < S; s++) {
+        const int64_t b0 = len * s / S, b1 = len * (s + 1) / S;
+        int64_t g = base[s];  // global line index of the first '\n' in slice
+        // line start: after the last newline before b0 (scan back; FASTQ
+        // lines are short so this is a handful of bytes)
+        int64_t start = b0;
+        while (start > 0 && buf[start - 1] != '\n') start--;
+        const uint8_t* p = buf + b0;
+        const uint8_t* end = buf + b1;
+        while (p < end) {
+            const uint8_t* nl = (const uint8_t*)memchr(p, '\n', end - p);
+            if (!nl) break;
+            if (g >= o && ((g - o) & 3) == 0) {  // sequence line
+                int64_t llen = (nl - buf) - start;
+                if (llen > 0 && buf[start + llen - 1] == '\r') llen--;
+                const int64_t row = (g - o) >> 2;
+                const int64_t L = llen < stride ? llen : stride;
+                uint8_t* dst = codes + row * stride;
+                for (int64_t i = 0; i < L; i++) dst[i] = NT4[buf[start + i]];
+                lengths[row] = (int32_t)L;
+            }
+            g++;
+            start = (nl - buf) + 1;
+            if ((nl - buf) > last_nl) last_nl = nl - buf;
+            p = nl + 1;
+        }
+    }
+    *consumed_out = total_lines ? last_nl + 1 : 0;
+    *phase_out = (int32_t)((phase + total_lines) & 3);
+    return nreads;
+}
+
+// ---------------------------------------------------------------------------
 // Transfer-group packing (device_step.build_group_buffer, fused)
 // ---------------------------------------------------------------------------
 // The device stream ships G sub-batches as ONE flat uint8 buffer: nibble-

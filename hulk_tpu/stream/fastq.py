@@ -154,7 +154,7 @@ def _skip_lines(chunks: Iterator[bytes], n_lines: int) -> Iterator[bytes]:
     remaining = n_lines
     for c in chunks:
         if remaining:
-            buf = np.frombuffer(c, dtype=np.uint8)
+            buf = c if isinstance(c, np.ndarray) else np.frombuffer(c, dtype=np.uint8)
             nl = np.flatnonzero(buf == 0x0A)
             if nl.shape[0] < remaining:
                 remaining -= int(nl.shape[0])
@@ -243,7 +243,15 @@ def batch_reads_native(
         )
 
     def splits(codes, lengths):
-        """Split a raw packed chunk at interval boundaries."""
+        """Slice a packed pair to batch size (the parallel parser returns one
+        big [nreads, stride] pair per chunk), then at interval boundaries —
+        the same boundary set the serial per-batch packer produces."""
+        for s0 in range(0, lengths.shape[0], batch_size):
+            yield from _cuts(
+                codes[s0 : s0 + batch_size], lengths[s0 : s0 + batch_size]
+            )
+
+    def _cuts(codes, lengths):
         if cut_every is None:
             yield from finish(codes, lengths)
             return
@@ -273,12 +281,14 @@ def batch_reads_native(
                 with open(path, "rb") as fh:
                     comp = fh.read()
                 # copy=False: the persistent-buffer view is fully consumed
-                # (tobytes per chunk) before the next gunzip call
+                # by the parser before the next gunzip call (files parse
+                # sequentially; the prefetch wrapper is per-file). Yielded
+                # as ONE ndarray so the packer parses it zero-copy in a
+                # single OMP call — byte-chunk feeding costs ~3 full-stream
+                # copies (concat, cut-slice, tobytes).
                 decomp = _native.gunzip_bytes(comp, copy=False)
                 if decomp is not None:
-                    step = 1 << 24
-                    for i in range(0, decomp.shape[0], step):
-                        yield decomp[i : i + step].tobytes()
+                    yield decomp
                     return
                 # not clean gzip: fall through to the zlib streaming path
         fh = gzip.open(path, "rb") if path.endswith(".gz") else open(path, "rb")

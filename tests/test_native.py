@@ -415,3 +415,59 @@ def test_native_pack_group2_roundtrip():
     o2 = run(f2, True)
     for a, b in zip(o4, o2):
         assert np.array_equal(a, b)
+
+
+def test_parallel_parser_matches_serial(tmp_path):
+    """Chunks >= PAR_MIN_BYTES ride the OMP two-pass parser; reads must be
+    identical to the serial loop on both input paths (plain file -> bytes
+    chunks; .gz -> one whole-buffer ndarray), including interval cuts."""
+    import gzip as _gzip
+
+    from hulk_tpu.stream.fastq import batch_reads_native
+
+    rng = np.random.default_rng(23)
+    plain = tmp_path / "big.fq"
+    with open(plain, "wb") as fh:
+        for i in range(12000):
+            n = int(rng.integers(40, 200))
+            seq = bytes(
+                rng.choice(list(b"ACGTN"), p=[0.24] * 4 + [0.04], size=n).tolist()
+            )
+            fh.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * n + b"\n")
+    assert plain.stat().st_size > native.NativeFastqPacker.PAR_MIN_BYTES
+    gz = tmp_path / "big.fq.gz"
+    gz.write_bytes(_gzip.compress(plain.read_bytes()))
+
+    def reads_of(path, **kw):
+        out = []
+        total = []
+        for b in batch_reads_native([str(path)], batch_size=256, raw=True, **kw):
+            for i in range(b.lengths.shape[0]):
+                out.append(bytes(b.codes[i, : b.lengths[i]]))
+            total.append(b.lengths.shape[0])
+        return out, total
+
+    old = native.NativeFastqPacker.PAR_MIN_BYTES
+    try:
+        par_plain, _ = reads_of(plain)
+        par_gz, _ = reads_of(gz)
+        native.NativeFastqPacker.PAR_MIN_BYTES = 1 << 62  # force serial
+        ser_plain, _ = reads_of(plain)
+    finally:
+        native.NativeFastqPacker.PAR_MIN_BYTES = old
+    assert par_plain == ser_plain
+    assert par_gz == ser_plain
+    # interval cut positions stay exact under the parallel parser
+    cum = 0
+    for b in batch_reads_native([str(gz)], batch_size=256, cut_every=1000, raw=True):
+        cum += b.lengths.shape[0]
+        if cum % 1000 == 0:
+            continue
+    assert cum == 12000
+    cuts = []
+    acc = 0
+    for b in batch_reads_native([str(gz)], batch_size=256, cut_every=1000, raw=True):
+        acc += b.lengths.shape[0]
+        cuts.append(acc)
+    for m in range(1000, 12001, 1000):
+        assert m in cuts
