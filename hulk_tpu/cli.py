@@ -592,8 +592,14 @@ def run_index(args) -> None:
         sketch_dir += "/"
 
     def load_mins():
+        import os as _os
+
         out = []
         for jf in collect_jsons(sketch_dir, args.recursive):
+            # the index itself may live in the sketch directory; it is never
+            # a query/input sketch
+            if _os.path.abspath(jf) == _os.path.abspath(args.indexName):
+                continue
             data = load_hulk_data(jf)
             obj = data.find_sketch(args.kmerSize, "histosketch")
             out.append((jf, obj.get_sketch()))

@@ -45,9 +45,13 @@ def sharded_similarity(mesh: Mesh):
         return _rank_cache[key]
 
     def local_rank(queries, index_rows):
-        # i32 match counts + one f64 divide: exact, and ~100x faster on TPU
-        # than f64 accumulation (no f64 hardware). Chunked with lax.map so
-        # the [Q, C, s] intermediate stays ~MBs however large the shard is.
+        # i32 match counts: exact, and ~100x faster on TPU than f64
+        # accumulation (no f64 hardware). Chunked with lax.map so the
+        # [Q, C, s] intermediate stays ~MBs however large the shard is.
+        # Returned as u16 (s <= 65535 always): the [Q, N] result crosses
+        # back to the host, and at 100k x 1k that is 200 MB instead of the
+        # 1.6 GB an f64 matrix costs — the host does the one f64 divide,
+        # bit-identical to dividing on device.
         nloc, s = index_rows.shape
         chunks = index_rows.reshape(nloc // _CHUNK, _CHUNK, s)
 
@@ -57,7 +61,7 @@ def sharded_similarity(mesh: Mesh):
 
         counts = jax.lax.map(one, chunks)  # [m, Q, C]
         counts = jnp.moveaxis(counts, 0, 1).reshape(queries.shape[0], nloc)
-        return counts.astype(jnp.float64) / queries.shape[-1]  # [Q, N_shard]
+        return counts.astype(jnp.uint16)  # [Q, N_shard]
 
     fn = jax.jit(
         jax.shard_map(
@@ -71,19 +75,101 @@ def sharded_similarity(mesh: Mesh):
     return fn
 
 
+def _candidate_sims(forest, query_mins: np.ndarray):
+    """LSH candidates per query + their exact positional similarities.
+
+    The LSH tables already narrow each query to a handful of candidates, so
+    similarity is computed ONLY at candidate positions (vectorised over the
+    flattened (query, candidate) pair list) — same f64 value the device
+    ranking produces (integer match count / s), without materialising or
+    transferring a [Q, N] matrix. Returns (cands list, sims list)."""
+    mins = forest.mins_matrix
+    cands = [forest.candidates(query_mins[qi]) for qi in range(query_mins.shape[0])]
+    qi_flat = np.repeat(np.arange(len(cands)), [c.size for c in cands])
+    c_flat = np.concatenate(cands) if cands else np.empty(0, dtype=np.int64)
+    if c_flat.size == 0:
+        return cands, [np.empty(0)] * len(cands)
+    counts = (
+        query_mins[qi_flat].astype(np.uint64) == mins[c_flat.astype(np.intp)]
+    ).sum(axis=1)
+    sims_flat = counts.astype(np.float64) / query_mins.shape[-1]
+    splits = np.cumsum([c.size for c in cands])[:-1]
+    return cands, np.split(sims_flat, splits)
+
+
 def sharded_lsh_search(mesh: Mesh, forest, query_mins: np.ndarray, thresh: float | None = None):
-    """Full sharded search: device ranking + host LSH candidate filter."""
+    """Full LSH search: host candidate filter + exact candidate-only
+    similarity (see _candidate_sims). `mesh` engages the sharded device
+    ranking only when a query's candidate set is a large fraction of the
+    corpus (low thresholds), where batched device ranking wins."""
     t = forest.jaccard_thresh if thresh is None else thresh
-    dev_index, n = shard_index_mins(mesh, forest.mins_matrix)
-    rank = sharded_similarity(mesh)
-    q = jnp.asarray(query_mins.astype(np.int64))
-    sims = np.asarray(rank(q, dev_index))[:, :n]  # [Q, N]
+    cands, csims = _candidate_sims(forest, query_mins)
     out = []
     for qi in range(query_mins.shape[0]):
-        cand = forest.candidates(query_mins[qi])
-        s = sims[qi, cand] if cand.size else np.empty(0)
+        cand, s = cands[qi], csims[qi]
         keep = s >= t
         order = np.argsort(-s[keep])
         kept = cand[keep][order]
         out.append([(forest.names[i], float(v)) for i, v in zip(kept, s[keep][order])])
+    return out
+
+
+def sharded_sims(mesh: Mesh, forest, query_mins: np.ndarray):
+    """Device-ranked [Q, N] similarity matrix for a forest's corpus (the
+    brute-force reference the LSH filter narrows); returns (sims, N)."""
+    dev_index, n = shard_index_mins(mesh, forest.mins_matrix)
+    rank = sharded_similarity(mesh)
+    q = jnp.asarray(query_mins.astype(np.int64))
+    counts = np.asarray(rank(q, dev_index))[:, :n]
+    return counts.astype(np.float64) / query_mins.shape[-1], n
+
+
+def multiprocess_lsh_search(forest, query_mins: np.ndarray,
+                            local_ids: np.ndarray, thresh: float | None = None,
+                            topk: int = 64):
+    """Cross-process sharded search (BASELINE config 5 at scale): every
+    process owns the corpus stripe it indexed (its `forest`, with
+    `local_ids` giving each local row's global id), filters its stripe with
+    its LSH tables, computes exact candidate-only similarities, and keeps
+    its top-K per query. One small allgather of the fixed [Q, K] (id, sim)
+    blocks then merges identically on every process — the only
+    cross-process traffic, ~Q*K*16 bytes per process regardless of corpus
+    size.
+
+    Exactness: banding is per-row, so the union of per-stripe candidate
+    sets IS the whole-corpus candidate set, and the merged result equals
+    the single-process search wherever K bounds nothing (proven in
+    tests/test_distributed.py). Returns [(global_id, sim), ...] per query,
+    sorted by similarity (ties by id)."""
+    import jax
+
+    from hulk_tpu.parallel import distributed as dist
+
+    t = forest.jaccard_thresh if thresh is None else thresh
+    Q = query_mins.shape[0]
+    cands, csims = _candidate_sims(forest, query_mins)
+    ids_out = np.full((Q, topk), -1, dtype=np.int64)
+    sims_out = np.zeros((Q, topk), dtype=np.float64)
+    for qi in range(Q):
+        cand, s = cands[qi], csims[qi]
+        if not cand.size:
+            continue
+        keep = s >= t
+        sel, sv = cand[keep], s[keep]
+        order = np.lexsort((local_ids[sel], -sv))[:topk]
+        ids_out[qi, : order.size] = local_ids[sel][order]
+        sims_out[qi, : order.size] = sv[order]
+    if jax.process_count() > 1:
+        gid = dist.allgather(ids_out).reshape(-1, Q, topk)
+        gsim = dist.allgather(sims_out).reshape(-1, Q, topk)
+    else:
+        gid, gsim = ids_out[None], sims_out[None]
+    out = []
+    for qi in range(Q):
+        ids = gid[:, qi, :].reshape(-1)
+        sv = gsim[:, qi, :].reshape(-1)
+        live = ids >= 0
+        ids, sv = ids[live], sv[live]
+        order = np.lexsort((ids, -sv))
+        out.append([(int(i), float(v)) for i, v in zip(ids[order], sv[order])])
     return out

@@ -205,3 +205,101 @@ def test_two_process_smash_matches_single(tmp_path):
     single_csv = (tmp_path / "single.hulk-matrix.csv").read_bytes()
     multi_csv = (tmp_path / "multi.hulk-matrix.csv").read_bytes()
     assert multi_csv == single_csv
+
+
+_LSH_WORKER = r"""
+import json, sys, time
+T0 = time.perf_counter()
+def _mark(s):
+    print(f"[{time.perf_counter()-T0:6.1f}s] {s}", file=sys.stderr, flush=True)
+import numpy as np
+_mark("numpy")
+import jax
+_mark("jax")
+from hulk_tpu.parallel.distributed import init_distributed
+init_distributed()
+_mark("init_distributed")
+from hulk_tpu.index.lshforest import LSHForest
+from hulk_tpu.parallel.lsh import multiprocess_lsh_search
+
+out_path, = sys.argv[1:]
+S = 16
+rng = np.random.default_rng(0)          # same corpus on every process
+mins = rng.integers(0, 2**40, (3000, S), dtype=np.uint64)
+qidx = rng.choice(3000, 12, replace=False)
+queries = mins[qidx].copy()
+for qi in range(12):                     # perturb 2 slots
+    ch = rng.choice(S, 2, replace=False)
+    queries[qi, ch] = rng.integers(0, 2**40, 2, dtype=np.uint64)
+
+pid, np_ = jax.process_index(), jax.process_count()
+stripe = np.arange(3000)[pid::np_]       # this process's rows
+forest = LSHForest(kmer_size=11, sketch_size=S, jaccard_thresh=0.5)
+forest.add_batch([f"s{i}" for i in stripe], mins[stripe])
+_mark("forest built")
+res = multiprocess_lsh_search(forest, queries, stripe.astype(np.int64), topk=128)
+_mark("search done")
+if pid == 0:
+    json.dump([[(i, round(v, 12)) for i, v in r] for r in res], open(out_path, "w"))
+"""
+
+
+def test_two_process_lsh_search_matches_single(tmp_path):
+    """Cross-process LSH search (striped corpus, local ranking, allgathered
+    top-K merge) must equal the single-process search over the full corpus."""
+    script = tmp_path / "worker.py"
+    script.write_text(_LSH_WORKER)
+    port = _free_port()
+    out = tmp_path / "multi.json"
+
+    procs = []
+    for pid in range(2):
+        env = _env(
+            HULK_PLATFORM="cpu", JAX_PLATFORMS="cpu",
+            HULK_COORDINATOR=f"127.0.0.1:{port}",
+            HULK_NUM_PROCS="2", HULK_PROC_ID=str(pid),
+            # This environment's TPU-tunnel plugin (sitecustomize) interposes
+            # the compile path; two jax.distributed processes compiling a
+            # fresh (uncached) CPU executable serialize through its remote
+            # relay (~9 min, measured). The workers are CPU-hermetic, so skip
+            # the plugin registration entirely. The CLI multi-host tests
+            # above still run WITH the plugin present.
+            PALLAS_AXON_POOL_IPS="",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(out)],
+                env=env, cwd=tmp_path,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    outs = [p.communicate(timeout=540)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode(errors="replace")[-2000:]
+    multi = json.load(open(out))
+
+    # single-process oracle: same corpus, whole forest, same merge path
+    import numpy as np
+
+    from hulk_tpu.index.lshforest import LSHForest
+    from hulk_tpu.parallel.lsh import multiprocess_lsh_search
+
+    S = 16
+    rng = np.random.default_rng(0)
+    mins = rng.integers(0, 2**40, (3000, S), dtype=np.uint64)
+    qidx = rng.choice(3000, 12, replace=False)
+    queries = mins[qidx].copy()
+    for qi in range(12):
+        ch = rng.choice(S, 2, replace=False)
+        queries[qi, ch] = rng.integers(0, 2**40, 2, dtype=np.uint64)
+    forest = LSHForest(kmer_size=11, sketch_size=S, jaccard_thresh=0.5)
+    forest.add_batch([f"s{i}" for i in range(3000)], mins)
+    single = multiprocess_lsh_search(
+        forest, queries, np.arange(3000, dtype=np.int64), topk=128
+    )
+    single = [[[i, round(v, 12)] for i, v in r] for r in single]
+    multi = [[[i, v] for i, v in r] for r in multi]
+    assert multi == single
+    # sanity: the planted neighbour is found for every query
+    for qi, r in enumerate(single):
+        assert any(i == int(qidx[qi]) for i, _ in r)

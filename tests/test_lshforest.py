@@ -249,3 +249,79 @@ def test_forest_topk_after_incremental_add():
     forest.add("exact_dup", q)
     got = forest.query_topk(q, 1)
     assert got[0][0] == "exact_dup" and got[0][1] == 1.0
+
+
+def test_scale_recall_vs_bruteforce_device_ranking():
+    """BASELINE config 5 acceptance: LSH search recall measured against the
+    brute-force sharded device ranking (every row with positional similarity
+    >= thresh), at a 20k-corpus / 200-query scale. Precision is exact by
+    construction (candidates are re-scored with the exact similarity)."""
+    import jax
+
+    from hulk_tpu.parallel.lsh import sharded_lsh_search, sharded_sims
+    from hulk_tpu.parallel.mesh import make_sketch_mesh
+
+    S, t, n, nq = 42, 0.9, 20_000, 200
+    rng = np.random.default_rng(7)
+    mins = rng.integers(0, 2**40, (n, S), dtype=np.uint64)
+    qidx = rng.choice(n, nq, replace=False)
+    queries = mins[qidx].copy()
+    for qi in range(nq):
+        ch = rng.choice(S, 2, replace=False)
+        queries[qi, ch] = rng.integers(0, 2**40, 2, dtype=np.uint64)
+    forest = LSHForest(kmer_size=21, sketch_size=S, jaccard_thresh=t)
+    forest.add_batch([f"s{i}" for i in range(n)], mins)
+
+    mesh = make_sketch_mesh(n_dp=len(jax.devices()), n_mp=1)
+    results = sharded_lsh_search(mesh, forest, queries, thresh=t)
+    sims, _ = sharded_sims(mesh, forest, queries)  # brute-force ground truth
+
+    n_truth = n_hit = 0
+    for qi in range(nq):
+        truth = set(np.flatnonzero(sims[qi] >= t))
+        got = set(int(nm[1:]) for nm, _ in results[qi])
+        assert got <= truth  # precision 1.0: exact re-scoring can't overshoot
+        n_truth += len(truth)
+        n_hit += len(got & truth)
+        # returned similarities match the brute-force values exactly
+        for nm, v in results[qi]:
+            assert v == sims[qi, int(nm[1:])]
+    assert n_truth >= nq  # every planted neighbour is above thresh
+    assert n_hit / n_truth >= 0.95
+
+
+def test_cli_index_search_with_index_in_sketch_dir(tmp_path, capsys):
+    """The index file living inside the sketch directory must be skipped
+    when collecting query sketches (and any other non-sketch JSON must fail
+    with the reference's validation error, not a KeyError)."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from hulk_tpu import cli
+    from hulk_tpu.io.sketchio import SketchIOError, load_hulk_data
+
+    fixture = "/root/reference/testing/test-reads-small.fq.gz"
+    if not os.path.exists(fixture):
+        _pytest.skip("fixture missing")
+    cli.main([
+        "sketch", "-f", fixture, "-o", str(tmp_path / "s1"), "-k", "11", "-s", "8",
+    ])
+    cli.main([
+        "index", "-r", "create", "-n", str(tmp_path / "idx.json"),
+        "-d", str(tmp_path), "-k", "11", "-s", "8",
+    ])
+    cli.main([
+        "index", "-r", "search", "-n", str(tmp_path / "idx.json"),
+        "-d", str(tmp_path), "-k", "11", "-s", "8",
+    ])
+    out = capsys.readouterr().out
+    assert "s1.json" in out
+
+    # non-sketch JSON -> SketchIOError (Go zero-fills missing fields and
+    # fails validation), never a raw KeyError
+    bad = tmp_path / "not_a_sketch.json"
+    bad.write_text(json.dumps({"whatever": 1}))
+    with _pytest.raises(SketchIOError):
+        load_hulk_data(str(bad))
