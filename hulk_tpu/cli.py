@@ -61,16 +61,16 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-f", "--fastq", action="append", default=[], help="FASTQ file(s) to sketch (can also pipe in STDIN)")
     ps.add_argument("--fasta", action="store_true", help="input is FASTA format")
     ps.add_argument("-w", "--windowSize", type=int, default=9, help="minimizer window size")
-    ps.add_argument("-i", "--interval", type=int, default=0, help="size of k-mer sampling interval (0 = no interval)")
+    ps.add_argument("-i", "--interval", type=int, default=0, help="size of k-mer sampling interval (0 = no interval; single-process only — multi-host runs shard whole files and cannot see the global read order)")
     ps.add_argument("-s", "--sketchSize", type=int, default=50, help="size of sketch")
     ps.add_argument("-x", "--decayRatio", type=float, default=1.0, help="decay ratio used for concept drift (1.0 = disabled)")
-    ps.add_argument("--stream", action="store_true", help="print sketches to STDOUT after every interval (log redirected to disk)")
+    ps.add_argument("--stream", action="store_true", help="print sketches to STDOUT after every interval (log redirected to disk; snapshots carry the histosketch only — KMV/KHF/HMH states stay on device and appear in the final output)")
     ps.add_argument("-b", "--bannerLabel", type=str, default="blank", help="adds a label to the sketch object, for use with BANNER")
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
     ps.add_argument("--hmh", "--hyperminhash", dest="hmh", action="store_true", help="also generate a HyperMinHash sketch (extension)")
-    ps.add_argument("--device-flush", dest="device_flush", action="store_true", help="run the histosketch flush on the accelerator (extension; exact output, requires decayRatio=1.0)")
-    ps.add_argument("--checkpoint", type=str, default="", help="write a resumable state snapshot after every interval flush (extension; requires -i)")
+    ps.add_argument("--device-flush", dest="device_flush", action="store_true", help="run the histosketch flush on the accelerator (extension; exact output, requires decayRatio=1.0 — the drift scan's threshold evolves mid-flush and stays on the host)")
+    ps.add_argument("--checkpoint", type=str, default="", help="write a resumable state snapshot after every interval flush (extension; requires -i, single-process only)")
     ps.add_argument("--resume", type=str, default="", help="resume a sketch run from a --checkpoint snapshot (extension)")
 
     pm = sub.add_parser("smash", help="Smash a bunch of sketches and return a distance matrix")
