@@ -211,6 +211,8 @@ _STAGE_ALLOWANCE = {
     "e2e_0": 240.0,
     "e2e_1": 120.0,
     "e2e_2": 120.0,
+    "e2e_3": 120.0,
+    "e2e_4": 120.0,
     "device_only_done": 300.0,
     "smash_done": 240.0,
     "_exit": 120.0,
@@ -328,16 +330,18 @@ def main() -> None:
     exact = precheck_production_step(pallas)
     _stage("precheck_done")
 
-    # best-of-3: the tunnel's wire bandwidth swings run to run (measured
+    # best-of-5: the tunnel's wire bandwidth swings run to run (measured
     # 15-70 MB/s), so a single window is at its mercy; the best window is
-    # the honest measure of the pipeline itself and all trials are reported
+    # the honest measure of the pipeline itself, and all trials + the
+    # median are reported as the error bar
     trials = []
-    for i in range(3):
+    for i in range(5):
         dt_i, n_reads, n_min = run_end_to_end(path)
         trials.append(dt_i)
         _stage(f"e2e_{i}")
     dt = min(trials)
     e2e = n_reads / dt
+    med = sorted(trials)[len(trials) // 2]
 
     dev_rate = device_only_rate()
     _stage("device_only_done")
@@ -345,7 +349,7 @@ def main() -> None:
     _stage("smash_done")
 
     print(
-        f"# warmup(compile): {t_warm:.1f}s; e2e best-of-3: {dt:.2f}s "
+        f"# warmup(compile): {t_warm:.1f}s; e2e best-of-5: {dt:.2f}s "
         f"(trials {['%.2f' % t for t in trials]}; {n_reads} reads, "
         f"{n_min} minimizers); device-only: {dev_rate:,.0f} reads/s; "
         f"smash: {sm_rate:,.0f} cells/s",
@@ -367,6 +371,7 @@ def main() -> None:
             "warmup_compile_s": round(t_warm, 1),
             "exact_production_step": exact,
             "e2e_trials_s": [round(t, 2) for t in trials],
+            "e2e_median_reads_per_s": round(n_reads / med, 1),
             "e2e_worst_reads_per_s": round(n_reads / max(trials), 1),
         },
     }
