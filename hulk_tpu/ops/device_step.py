@@ -375,27 +375,13 @@ def _group_views2(flatbuf, g: int, r: int, l: int):
     return codes2, mask8, lengths
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "g", "r", "l", "k", "w", "bucket", "pallas",
-        "use_kmv", "use_khf", "use_hmh", "hmh_pqr", "packed2",
-    ),
-    donate_argnums=(0, 1, 2, 3, 4),
-)
-def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
-                             r: int, l: int, k: int, w: int, bucket: int,
-                             pallas: bool = False, use_kmv: bool = False,
-                             use_khf: bool = False, use_hmh: bool = False,
-                             hmh_pqr=None, packed2: bool = False):
-    """One transfer group of G sub-batches as a single dispatch.
-
-    Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
-    hmh [m] u64 (dummy [1] arrays when the corresponding flag is off).
-    Bit-equal to G calls of sketch_stream_step_fused + the device sketch
-    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r).
-    packed2 selects the v2 flat layout (2-bit codes + N bitmask; identical
-    reconstructed codes, ~25% fewer transfer bytes)."""
+def group_scan_body(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
+                    r: int, l: int, k: int, w: int, bucket: int,
+                    pallas: bool = False, use_kmv: bool = False,
+                    use_khf: bool = False, use_hmh: bool = False,
+                    hmh_pqr=None, packed2: bool = False):
+    """Unjitted group-scan over one flat transfer buffer (shared by the
+    single-device jit below and the dp shard_map in parallel/mesh)."""
     from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
 
     if packed2:
@@ -430,6 +416,34 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
         body, (hist, count, kmv, khf, hmh), xs_in
     )
     return hist, count, kmv, khf, hmh
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "g", "r", "l", "k", "w", "bucket", "pallas",
+        "use_kmv", "use_khf", "use_hmh", "hmh_pqr", "packed2",
+    ),
+    donate_argnums=(0, 1, 2, 3, 4),
+)
+def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
+                             r: int, l: int, k: int, w: int, bucket: int,
+                             pallas: bool = False, use_kmv: bool = False,
+                             use_khf: bool = False, use_hmh: bool = False,
+                             hmh_pqr=None, packed2: bool = False):
+    """One transfer group of G sub-batches as a single dispatch.
+
+    Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
+    hmh [m] u64 (dummy [1] arrays when the corresponding flag is off).
+    Bit-equal to G calls of sketch_stream_step_fused + the device sketch
+    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r).
+    packed2 selects the v2 flat layout (2-bit codes + N bitmask; identical
+    reconstructed codes, ~25% fewer transfer bytes)."""
+    return group_scan_body(
+        hist, count, kmv, khf, hmh, flatbuf, g=g, r=r, l=l, k=k, w=w,
+        bucket=bucket, pallas=pallas, use_kmv=use_kmv, use_khf=use_khf,
+        use_hmh=use_hmh, hmh_pqr=hmh_pqr, packed2=packed2,
+    )
 
 
 # The device-resident flush (CMS + CWS scan over a dense histogram) lives in

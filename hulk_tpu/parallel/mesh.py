@@ -106,6 +106,59 @@ def make_sharded_stream_step(
     return jax.jit(sharded, donate_argnums=(0, 1, 4, 5, 6))
 
 
+def make_sharded_group_step(
+    mesh: Mesh,
+    *,
+    g: int,
+    r: int,
+    l: int,
+    k: int,
+    w: int,
+    bucket: int,
+    pallas: bool = False,
+    use_kmv: bool = False,
+    use_khf: bool = False,
+    use_hmh: bool = False,
+    hmh_pqr: tuple | None = None,
+    packed2: bool = False,
+):
+    """Data-parallel GROUPED stream step: each dp shard consumes its own flat
+    transfer buffer (nibble or v2 2-bit layout, g sub-batches of r reads)
+    with the same single-dispatch lax.scan the single-device stream runs —
+    one transfer + one dispatch per group PER SHARD, per-shard donated
+    carries, zero per-step collectives (the merge stays on the host at
+    interval boundaries, exactly as before).
+
+    Signature: (hist [D,nbins], count [D], kmv [D,s], khf [D,s], hmh [D,m],
+                flat [D, flatlen] u8) -> carries; flat is row-sharded over dp
+    (each row built host-side by native.pack_group/pack_group2 from that
+    shard's slice of the batch rows)."""
+    from hulk_tpu.ops.device_step import group_scan_body
+
+    def local(hist, count, kmv, khf, hmh, flat):
+        h, c, s1, s2, hm = group_scan_body(
+            hist[0], count[0], kmv[0], khf[0], hmh[0], flat[0],
+            g=g, r=r, l=l, k=k, w=w, bucket=bucket, pallas=pallas,
+            use_kmv=use_kmv, use_khf=use_khf, use_hmh=use_hmh,
+            hmh_pqr=hmh_pqr, packed2=packed2,
+        )
+        return h[None], c[None], s1[None], s2[None], hm[None]
+
+    sharded = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("dp", None), P("dp"), P("dp", None), P("dp", None),
+            P("dp", None), P("dp", None),
+        ),
+        out_specs=(
+            P("dp", None), P("dp"), P("dp", None), P("dp", None),
+            P("dp", None),
+        ),
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
+
+
 def sharded_histogram_step(mesh: Mesh, nbins: int, k: int, w: int):
     """Build a pjit-ted step: [R, L] reads (sharded over dp) -> replicated
     histogram increment, merged with psum over dp."""

@@ -427,7 +427,9 @@ class _ShardedDeviceStream:
         self.cfg = cfg
         self.nbins = nbins
         self.ndev = ndev
-        self.mesh = make_sketch_mesh(n_dp=ndev, n_mp=1, devices=jax.devices()[:ndev])
+        self.mesh = make_sketch_mesh(
+            n_dp=ndev, n_mp=1, devices=jax.local_devices()[:ndev]
+        )
         self._shard2d = NamedSharding(self.mesh, P("dp", None))
         self._shard1d = NamedSharding(self.mesh, P("dp"))
         s = cfg.sketch_size
@@ -455,8 +457,17 @@ class _ShardedDeviceStream:
             jnp.zeros((ndev, m), dtype=jnp.uint64), self._shard2d
         )
         self.pallas = pallas_supported()
+        self._hmh_pqr = hmh_pqr
         self._steps: dict = {}
+        self._legacy_steps: dict = {}
         self._staged: list = []
+        self._staged_key = None
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._exec = ThreadPoolExecutor(1, thread_name_prefix="hulk-dispatch")
+        self._futs: "deque" = deque()
+        self._max_pending = 3
         self._mkstep = lambda r, l: make_sharded_stream_step(
             self.mesh,
             k=cfg.kmer_size,
@@ -473,46 +484,122 @@ class _ShardedDeviceStream:
     GROUP = _DeviceStream.GROUP
 
     def feed(self, batch) -> None:
-        """Stage one batch (rows padded to a dp multiple); transfers happen
-        per GROUP like the single-device stream (same tunnel economics)."""
-        import numpy as np_
-
-        codes, lengths = batch.codes, batch.lengths
-        r, l = codes.shape
-        pad = (-r) % self.ndev
-        if pad:
-            codes = np_.concatenate(
-                [codes, np_.full((pad, l), 5, dtype=codes.dtype)]
-            )
-            lengths = np_.concatenate([lengths, np_.zeros(pad, dtype=lengths.dtype)])
-        if self._staged and self._staged[0][0].shape != codes.shape:
-            self._dispatch_group()
-        self._staged.append((codes, lengths))
+        """Stage one batch (padded PackedReads or parser-strided RawReads);
+        transfers happen per GROUP like the single-device stream (same
+        tunnel economics). Row->shard assignment: contiguous blocks of
+        ceil(R/D) rows per shard, identical to P(\"dp\") row sharding of the
+        padded stack, so per-shard carries are bit-identical to the
+        per-batch path."""
+        if hasattr(batch, "bucket"):
+            key = (self.cfg.batch_size, batch.bucket)
+        else:
+            key = batch.codes.shape
+        if self._staged and self._staged_key != key:
+            self._flush_staged()
+        self._staged_key = key
+        self._staged.append((batch.codes, batch.lengths))
         if len(self._staged) >= self.GROUP:
-            self._dispatch_group()
+            self._flush_staged()
 
-    def _dispatch_group(self) -> None:
+    def _flush_staged(self) -> None:
         if not self._staged:
             return
+        staged, self._staged = self._staged, []
+        while len(self._futs) >= self._max_pending:
+            self._futs.popleft().result()
+        self._futs.append(
+            self._exec.submit(self._dispatch_group, staged, self._staged_key)
+        )
+
+    def _sync(self) -> None:
+        self._flush_staged()
+        while self._futs:
+            self._futs.popleft().result()
+
+    def _dispatch_group(self, staged, key) -> None:
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hulk_tpu import native
+        from hulk_tpu.ops.device_step import fused_bits_ok, stream_bucket
+        from hulk_tpu.parallel.mesh import make_sharded_group_step
+
+        cfg = self.cfg
+        R, l = key
+        ndev = self.ndev
+        rs = (R + ndev - 1) // ndev
+        if not native.available() or not fused_bits_ok(cfg.kmer_size, rs):
+            self._dispatch_legacy(staged, key)
+            return
+        packed2 = l % 8 == 0
+        pack = native.pack_group2 if packed2 else native.pack_group
+        shard_bufs = []
+        for d in range(ndev):
+            pairs = []
+            for codes, lengths in staged:
+                rows = lengths.shape[0]
+                lo = min(d * rs, rows)
+                hi = min(lo + rs, rows)
+                pairs.append((codes[lo:hi], lengths[lo:hi]))
+            shard_bufs.append(pack(pairs, self.GROUP, rs, l))
+        devs = list(self.mesh.devices[:, 0])
+        flat = jax.make_array_from_single_device_arrays(
+            (ndev, shard_bufs[0].shape[0]),
+            NamedSharding(self.mesh, P("dp", None)),
+            [jax.device_put(b[None], d) for b, d in zip(shard_bufs, devs)],
+        )
+        step = self._steps.get((rs, l, packed2))
+        if step is None:
+            step = self._steps[(rs, l, packed2)] = make_sharded_group_step(
+                self.mesh, g=self.GROUP, r=rs, l=l, k=cfg.kmer_size,
+                w=cfg.window_size,
+                bucket=stream_bucket(rs, rs * (l + l % 2)),
+                pallas=self.pallas, use_kmv=cfg.kmv, use_khf=cfg.khf,
+                use_hmh=cfg.hmh, hmh_pqr=self._hmh_pqr, packed2=packed2,
+            )
+        (
+            self.hist, self.count, self.kmv_state, self.khf_state,
+            self.hmh_regs,
+        ) = step(
+            self.hist, self.count, self.kmv_state, self.khf_state,
+            self.hmh_regs, flat,
+        )
+
+    def _dispatch_legacy(self, staged, key) -> None:
+        """Per-batch sharded dispatch (large-k fallback / no native lib):
+        padded [R, L] batches, rows padded to a dp multiple, nibble codes."""
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from hulk_tpu.ops.device_step import pack_codes4
 
-        staged, self._staged = self._staged, []
-        r, l = staged[0][0].shape
-        step = self._steps.get((r, l))
+        R, l = key
+        pad_to = R + ((-R) % self.ndev)
+        norm = []
+        for codes, lengths in staged:
+            rows = lengths.shape[0]
+            if codes.shape != (pad_to, l) or rows != pad_to:
+                full = np.full((pad_to, l), 5, dtype=np.uint8)
+                ln = np.zeros(pad_to, dtype=np.int32)
+                ln[:rows] = lengths
+                col = np.arange(l, dtype=np.int32)[None, :]
+                full[:rows] = np.where(
+                    col < lengths[:, None], codes[:, :l], np.uint8(5)
+                )
+                codes, lengths = full, ln
+            norm.append((codes, lengths))
+        step = self._legacy_steps.get((pad_to, l))
         if step is None:
-            step = self._steps[(r, l)] = self._mkstep(r, l)
+            step = self._legacy_steps[(pad_to, l)] = self._mkstep(pad_to, l)
         codes3 = jax.device_put(
-            pack_codes4(np.stack([c for c, _ in staged])),
+            pack_codes4(np.stack([c for c, _ in norm])),
             NamedSharding(self.mesh, P(None, "dp", None)),
         )
         lengths2 = jax.device_put(
-            np.stack([ln for _, ln in staged]),
+            np.stack([ln for _, ln in norm]),
             NamedSharding(self.mesh, P(None, "dp")),
         )
-        for i in range(len(staged)):
+        for i in range(len(norm)):
             (
                 self.hist, self.count, self.kmv_state, self.khf_state,
                 self.hmh_regs,
@@ -522,7 +609,7 @@ class _ShardedDeviceStream:
             )
 
     def minimizer_total(self) -> int:
-        self._dispatch_group()
+        self._sync()
         return int(np.asarray(self.count).sum())
 
     def take_hist(self):
@@ -531,7 +618,7 @@ class _ShardedDeviceStream:
         import jax
         import jax.numpy as jnp
 
-        self._dispatch_group()
+        self._sync()
         h = _sum_shards(self.hist)
         self.hist = jax.device_put(
             jnp.zeros((self.ndev, self.nbins), dtype=jnp.int32), self._shard2d
@@ -542,7 +629,7 @@ class _ShardedDeviceStream:
         import jax
         import jax.numpy as jnp
 
-        self._dispatch_group()
+        self._sync()
         h = np.asarray(self.hist).astype(np.int64).sum(axis=0).astype(np.float64)
         if h.any():
             spectrum.add_dense(h)
@@ -554,7 +641,7 @@ class _ShardedDeviceStream:
         """Merge per-shard device states into the host objects (exact:
         bottom-k union / elementwise min / register max — also preserves
         resumed-from-checkpoint host state)."""
-        self._dispatch_group()
+        self._sync()
         sent = np.uint64(0xFFFFFFFFFFFFFFFF)
         if kmv is not None:
             vals = np.sort(
@@ -790,7 +877,8 @@ def run_sketch_pipeline(
             )
         batches = batch_reads_native(
             cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut,
-            fasta=cfg.fasta, raw=isinstance(dev, _DeviceStream), **kw,
+            fasta=cfg.fasta,
+            raw=isinstance(dev, (_DeviceStream, _ShardedDeviceStream)), **kw,
         )
     else:
         batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)

@@ -245,3 +245,39 @@ def test_sharded_smash_matches_single_device():
 
     rows = sharded_wjd_rows(mins, weights, 37, 71, ndev=8, block=16)
     assert np.array_equal(ref[37:71], rows)
+
+
+def test_sharded_raw_file_input_matches_host(tmp_path):
+    """File input + data_parallel engages the RawReads lane through the
+    grouped sharded step (per-shard flat v2 buffers); output must equal the
+    exact host path bit-for-bit, including secondary sketches."""
+    import numpy as np
+
+    from hulk_tpu.stream.fastq import stream_reads
+    from hulk_tpu.stream.pipeline import SketchConfig, run_sketch_pipeline
+
+    rng = np.random.default_rng(31)
+    f = tmp_path / "reads.fq"
+    with open(f, "wb") as fh:
+        for i in range(700):
+            n = int(rng.integers(60, 151))
+            seq = bytes(rng.choice(list(b"ACGTN"), p=[0.24] * 4 + [0.04], size=n).tolist())
+            fh.write(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * n + b"\n")
+    kw = dict(kmer_size=11, window_size=9, sketch_size=8,
+              spectrum_size=11 ** 4, kmv=True, khf=True, hmh=True)
+    r_host = run_sketch_pipeline(
+        stream_reads([str(f)]), SketchConfig(**kw, device_stream=False)
+    )
+    r_dp = run_sketch_pipeline(
+        None,
+        SketchConfig(**kw, device_stream=True, data_parallel=True,
+                     batch_size=64, input_paths=[str(f)]),
+    )
+    for name, sig in r_host.hulk_data.signatures:
+        other = dict(r_dp.hulk_data.signatures)[name]
+        assert np.array_equal(sig.get_sketch(), other.get_sketch()), name
+    h1 = dict(r_host.hulk_data.signatures)["histosketch"]
+    h2 = dict(r_dp.hulk_data.signatures)["histosketch"]
+    assert np.array_equal(h1.sketch_weights, h2.sketch_weights)
+    assert r_host.minimizer_count == r_dp.minimizer_count
+    assert r_host.seq_count == r_dp.seq_count
