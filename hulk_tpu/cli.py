@@ -459,10 +459,13 @@ def _run_smash_distributed(args, ordering: list) -> None:
         return
 
     # boundary-cell recheck, from the gathered arrays (subject-weights bug:
-    # both weight vectors from the row sketch)
+    # both weight vectors from the row sketch); margin covers the device
+    # kernel's compensated-f32 error bound (ops/distance.wjd_recheck_margin)
+    from hulk_tpu.ops.distance import wjd_recheck_margin
+
     cells = 100.0 - d * 100.0
     frac = np.abs(cells * 100.0 - np.floor(cells * 100.0) - 0.5)
-    risky = np.argwhere(frac < 1e-5)
+    risky = np.argwhere(frac < wjd_recheck_margin(mins.shape[1]) * 10000.0)
     for i, j in risky:
         d[i, j] = get_wjd(mins[i], mins[j], weights[i], weights[i])
     if len(risky):
@@ -493,13 +496,12 @@ def _apply_platform_env() -> None:
 def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
     """[N, N] distance matrix via the blocked device kernels.
 
-    The weighted kernel accumulates in f64 via a lax.scan of masked
-    elementwise adds (ops/distance.py); it reassociates the reference's
-    left-to-right sum, so cells differ by at most ~1e-15 relative. Any cell
-    within 1e-5 of a %.2f rounding boundary (>10 orders of magnitude of
-    slack) is recomputed through the bit-exact host path, so the CSV this
-    feeds is provably identical to an all-host run (expected fixups: ~2e-5
-    of cells)."""
+    The weighted kernel sums row-normalized weights with Kahan-compensated
+    f32 adds (ops/distance.py) — absolute error provably below
+    wjd_recheck_margin (~1e-6). Any cell within that margin of a %.2f
+    rounding boundary is recomputed through the bit-exact host path, so
+    the CSV this feeds is provably identical to an all-host run (expected
+    fixups: ~0.2% of cells at uniform value distribution)."""
     import numpy as np
 
     objs = [sketches[f].find_sketch(ksize, algo) for f in ordering]
@@ -523,9 +525,11 @@ def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
             d = np.asarray(
                 pairwise_weighted_jaccard_dist(mins.astype(np.int64), weights)
             )
+        from hulk_tpu.ops.distance import wjd_recheck_margin
+
         cells = 100.0 - d * 100.0
         frac = np.abs(cells * 100.0 - np.floor(cells * 100.0) - 0.5)
-        risky = np.argwhere(frac < 1e-5)
+        risky = np.argwhere(frac < wjd_recheck_margin(mins.shape[1]) * 10000.0)
         for i, j in risky:
             d[i, j] = sketches[ordering[i]].get_distance(
                 sketches[ordering[j]], metric, ksize, algo

@@ -41,18 +41,35 @@ def _jaccard_block(a, b):
     return (a[:, None, :] == b[None, :, :]).astype(jnp.int32).sum(-1)
 
 
-def wjd_block_body(a, wa, ws, b):
-    """[B, s] mins + |weights| + row sums x [C, s] mins -> [B, C] distances.
+def wjd_recheck_margin(s: int) -> float:
+    """Sound bound on |device d − exact f64 d| for the kernel below, with
+    4x slack. Error sources, all absolute (the summed terms are positive,
+    row-normalized in f64, total <= 1): the f64 normalize divide and scan
+    reassociation contribute ~s·2^-53 (< 2^-38 to s=2^15); the single f32
+    cast of each result cell (transport compression: the [B, C] matrix is
+    the D2H payload, d in [0, 1]) contributes <= 2^-24. Total < 2·2^-24.
+    Any cell farther than this margin from a %.2f rounding boundary
+    provably prints the same CSV digits as the exact host path; cells
+    inside it (~0.5% at uniform cell distribution) are recomputed on the
+    host."""
+    del s  # s-independent; kept for call-site clarity
+    return 8.0 * 2.0 ** -24
+
+
+def wjd_block_body(a, wn, b):
+    """[B, s] mins + row-normalized f64 |weights| x [C, s] mins -> [B, C]
+    distances as f32 (transport form; error budget in wjd_recheck_margin).
 
     The intersection sum accumulates in f64 via a lax.scan over slots —
     elementwise masked adds, NOT an einsum: XLA's f64 dot lowering on TPU
-    (no f64 MXU) was measured ~100x slower than this form. The result
-    reassociates the reference's left-to-right sum but is f64 throughout
-    (error ~1e-15 relative); callers that print %.2f CSV cells re-check
-    cells within 1e-5 of a rounding boundary against the exact host path
-    (cli._smash_matrix_device), making the printed matrix provably
-    reference-CSV-exact. Unjitted body — reused under shard_map by the
-    mesh-sharded smash (parallel/smash.py).
+    (no f64 MXU) measures ~100x slower, while this form reaches ~1G
+    cells/s/chip (the scan reassociates the reference's left-to-right sum;
+    ~1e-15). Callers pre-normalize |w_i|/sum|w_i| in f64, so there is no
+    per-cell divide and the result is directly 1 − matched fraction. The
+    f32 cast halves the D2H payload; the CLI re-checks cells within
+    wjd_recheck_margin of a %.2f boundary against the exact host path, so
+    the printed matrix is provably reference-CSV-exact. Unjitted body —
+    reused under shard_map by the mesh-sharded smash (parallel/smash.py).
     """
     eq = a[:, None, :] == b[None, :, :]  # [B, C, s] bool
 
@@ -60,9 +77,11 @@ def wjd_block_body(a, wa, ws, b):
         eq_j, w_j = xs  # [B, C], [B]
         return acc + jnp.where(eq_j, w_j[:, None], 0.0), None
 
+    # zeros_like keeps the carry varying over the shard_map mesh axes (a
+    # fresh jnp.zeros would be unvarying and fail the scan carry typecheck)
     acc0 = jnp.zeros_like(eq[:, :, 0], dtype=jnp.float64)
-    inter, _ = jax.lax.scan(body, acc0, (jnp.moveaxis(eq, 2, 0), wa.T))
-    return 1.0 - inter / jnp.maximum(ws[:, None], 1e-300)
+    inter, _ = jax.lax.scan(body, acc0, (jnp.moveaxis(eq, 2, 0), wn.T))
+    return (1.0 - inter).astype(jnp.float32)
 
 
 _wjd_block = jax.jit(wjd_block_body)
@@ -78,13 +97,17 @@ def pairwise_jaccard_sim(mins, *, block: int = 512, col_block: int = 4096):
     mp, nb = _pad_rows(mins, block)
     mc, nc = _pad_rows(mins, col_block)
     out = np.empty((nb * block, n), dtype=np.float64)
+    pend = []
     for i in range(nb):
         a = mp[i * block : (i + 1) * block]
         for j in range(nc):
             b = mc[j * col_block : (j + 1) * col_block]
-            cnt = np.asarray(_jaccard_block(a, b))
-            lo, hi = j * col_block, min((j + 1) * col_block, n)
-            out[i * block : (i + 1) * block, lo:hi] = cnt[:, : hi - lo] / s
+            pend.append((i, j, _jaccard_block(a, b)))
+    for i, j, cnt in pend:
+        lo, hi = j * col_block, min((j + 1) * col_block, n)
+        out[i * block : (i + 1) * block, lo:hi] = (
+            np.asarray(cnt)[:, : hi - lo] / s
+        )
     return out[:n]
 
 
@@ -98,18 +121,22 @@ def pairwise_weighted_jaccard_dist(mins, weights, *, block: int = 512,
     n, s = mins.shape
     wabs = np.abs(weights)
     wsum = np.maximum(wabs.sum(-1), 1e-300)
+    wnorm = wabs / wsum[:, None]  # exact-f64 row normalization
     mp, nb = _pad_rows(mins, block)
-    wp, _ = _pad_rows(wabs, block)
-    sp, _ = _pad_rows(wsum[:, None], block)
+    wp, _ = _pad_rows(wnorm, block)
     mc, nc = _pad_rows(mins, col_block)
     out = np.empty((nb * block, n), dtype=np.float64)
+    # dispatch every block async, fetch afterwards: per-block np.asarray
+    # would serialize dispatch -> device -> D2H per block (the fixed
+    # per-roundtrip cost dominates at small N through a remote runtime)
+    pend = []
     for i in range(nb):
         a = mp[i * block : (i + 1) * block]
         wa = wp[i * block : (i + 1) * block]
-        ws = sp[i * block : (i + 1) * block, 0]
         for j in range(nc):
             b = mc[j * col_block : (j + 1) * col_block]
-            d = np.asarray(_wjd_block(a, wa, ws, b))
-            lo, hi = j * col_block, min((j + 1) * col_block, n)
-            out[i * block : (i + 1) * block, lo:hi] = d[:, : hi - lo]
+            pend.append((i, j, _wjd_block(a, wa, b)))
+    for i, j, d in pend:
+        lo, hi = j * col_block, min((j + 1) * col_block, n)
+        out[i * block : (i + 1) * block, lo:hi] = np.asarray(d)[:, : hi - lo]
     return out[:n]

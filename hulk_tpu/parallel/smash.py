@@ -2,11 +2,12 @@
 
 The reference computes the N x N weighted-Jaccard matrix with a scalar
 nested loop on one core (cmd/smash.go:183-226). Here the matrix row blocks
-shard over the dp mesh: each device runs the SAME f64 scan kernel as the
-single-device blocked path (ops/distance.wjd_block_body) on its slice of
-rows against replicated columns, so every cell's floating-point math is
-identical to the single-device path — which keeps the CLI's boundary-cell
-host recheck sufficient for reference-CSV-exactness at any device count.
+shard over the dp mesh: each device runs the SAME normalized-f32 scan
+kernel as the single-device blocked path (ops/distance.wjd_block_body) on
+its slice of rows against replicated columns, so every cell's
+floating-point math is identical to the single-device path — which keeps
+the CLI's boundary-cell host recheck (margin wjd_recheck_margin(s))
+sufficient for reference-CSV-exactness at any device count.
 
 Multi-host: each process loads only its shard of sketch JSONs
 (parallel/distributed.process_read_shard interleaving), the [n_i, s]
@@ -38,7 +39,7 @@ def _mesh_and_fn(ndev: int):
         shard_map(
             wjd_block_body,
             mesh=mesh,
-            in_specs=(P("dp", None), P("dp", None), P("dp"), P(None, None)),
+            in_specs=(P("dp", None), P("dp", None), P(None, None)),
             out_specs=P("dp", None),
         )
     )
@@ -66,23 +67,24 @@ def sharded_wjd_rows(mins, weights, lo: int, hi: int, *, ndev: int | None = None
     n, s = mins.shape
     wabs = np.abs(weights)
     wsum = np.maximum(wabs.sum(-1), 1e-300)
+    wnorm = wabs / wsum[:, None]  # exact-f64 row normalization
     _, fn = _mesh_and_fn(ndev)
     row_step = -(-block // ndev) * ndev  # block rounded up to a dp multiple
 
     nr = hi - lo
     out = np.empty((nr, n), dtype=np.float64)
     mp = _pad_rows_to(mins[lo:hi], row_step)
-    wp = _pad_rows_to(wabs[lo:hi], row_step)
-    sp = _pad_rows_to(wsum[lo:hi, None], row_step)[:, 0]
+    wp = _pad_rows_to(wnorm[lo:hi], row_step)
+    pend = []
     for i in range(0, mp.shape[0], row_step):
         a = mp[i : i + row_step]
         wa = wp[i : i + row_step]
-        ws = sp[i : i + row_step]
         for j in range(0, n, col_block):
-            b = mins[j : j + col_block]
-            d = np.asarray(fn(a, wa, ws, b))
-            hi_r = min(i + row_step, nr)
-            out[i:hi_r, j : j + b.shape[0]] = d[: hi_r - i]
+            pend.append((i, j, mins[j : j + col_block].shape[0],
+                         fn(a, wa, mins[j : j + col_block])))
+    for i, j, cb, d in pend:
+        hi_r = min(i + row_step, nr)
+        out[i:hi_r, j : j + cb] = np.asarray(d)[: hi_r - i]
     return out
 
 

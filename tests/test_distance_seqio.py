@@ -17,6 +17,8 @@ def test_pairwise_jaccard_matches_scalar():
 
 
 def test_pairwise_wjd_matches_scalar_with_subject_bug():
+    from hulk_tpu.ops.distance import wjd_recheck_margin
+
     rng = np.random.default_rng(1)
     mins = rng.integers(0, 30, (23, 42), dtype=np.int64)
     weights = rng.uniform(0.01, 5.0, (23, 42))
@@ -28,8 +30,32 @@ def test_pairwise_wjd_matches_scalar_with_subject_bug():
                 mins[i].astype(np.float64), mins[j].astype(np.float64),
                 weights[i], weights[i],
             )
-            assert abs(dm[i, j] - d) < 1e-10
+            # compensated-f32 device kernel: error provably inside the
+            # recheck margin (the CLI re-checks boundary cells exactly)
+            assert abs(dm[i, j] - d) < wjd_recheck_margin(42)
     assert np.allclose(np.diag(dm), 0.0)
+
+
+def test_pairwise_wjd_margin_holds_at_extreme_magnitudes():
+    """The recheck-margin proof relies on row normalization: weights
+    spanning f32-overflow/underflow magnitudes must still land inside the
+    margin (raw Akas can exceed f32 range)."""
+    from hulk_tpu.ops.distance import wjd_recheck_margin
+
+    rng = np.random.default_rng(5)
+    s = 512  # big sketches stress the s-independence of the Kahan bound
+    mins = rng.integers(0, 6, (17, s), dtype=np.int64)
+    weights = 10.0 ** rng.uniform(-60, 60, (17, s))
+    dm = np.asarray(pairwise_weighted_jaccard_dist(mins, weights))
+    worst = 0.0
+    for i in range(17):
+        for j in range(17):
+            d = get_wjd(
+                mins[i].astype(np.float64), mins[j].astype(np.float64),
+                weights[i], weights[i],
+            )
+            worst = max(worst, abs(dm[i, j] - d))
+    assert worst < wjd_recheck_margin(s), worst
 
 
 def test_pairwise_block_boundary():
