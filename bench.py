@@ -225,12 +225,13 @@ def supervise() -> int:
     deadlines, retrying the known flaky failure mode (wedged tunnel client).
     Stage allowances are generous enough that a legitimately slow cold
     compile is never killed; a wedge stops producing marks and is retried
-    in a fresh process (fresh tunnel connection) up to 4 times.
+    in a fresh process (fresh tunnel connection) up to 6 times (wedge
+    frequency measured as high as ~1 in 3 fresh connections).
     """
     import subprocess
     import threading
 
-    for attempt in range(4):
+    for attempt in range(6):
         env = dict(os.environ, HULK_BENCH_CHILD="1")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],

@@ -471,3 +471,53 @@ def test_parallel_parser_matches_serial(tmp_path):
         cuts.append(acc)
     for m in range(1000, 12001, 1000):
         assert m in cuts
+
+
+def test_gunzip_multimember_and_high_ratio(tmp_path):
+    """Real-world .gz shapes: concatenated members (cat a.fq.gz b.fq.gz, or
+    bgzip's thousands of small members) decompress across the member loop;
+    ultra-compressible input (poly-A reads, ratio >> 8x) exercises the
+    output-buffer growth retry. Both must parse identically to the zlib
+    streaming path."""
+    if not native.gunzip_available():
+        pytest.skip("libdeflate unavailable")
+    import numpy as np
+
+    from hulk_tpu.stream.fastq import batch_reads_native
+
+    rng = np.random.default_rng(29)
+    # many-member gz: 64 members of ~30 reads each
+    recs = []
+    for i in range(64 * 30):
+        n = int(rng.integers(60, 120))
+        seq = bytes(rng.choice(list(b"ACGT"), size=n).tolist())
+        recs.append(b"@r%d\n" % i + seq + b"\n+\n" + b"I" * n + b"\n")
+    multi = tmp_path / "multi.fq.gz"
+    with open(multi, "wb") as fh:
+        for m in range(64):
+            fh.write(gzip.compress(b"".join(recs[m * 30 : (m + 1) * 30])))
+    # high-ratio gz: poly-A reads compress ~200x (output > 8x compressed)
+    hi = tmp_path / "polya.fq.gz"
+    hi.write_bytes(
+        gzip.compress(
+            b"".join(b"@p%d\n" % i + b"A" * 150 + b"\n+\n" + b"I" * 150 + b"\n"
+                     for i in range(20000))
+        )
+    )
+    raw = native.gunzip_bytes(hi.read_bytes())
+    assert raw is not None and raw.shape[0] > 8 * hi.stat().st_size
+
+    def reads_of(p):
+        out = []
+        for b in batch_reads_native([str(p)], batch_size=256, raw=True):
+            for i in range(b.lengths.shape[0]):
+                out.append(bytes(b.codes[i, : b.lengths[i]]))
+        return out
+
+    got = reads_of(multi)
+    assert len(got) == 64 * 30
+    exp = [bytes(bytearray({65: 0, 67: 1, 71: 2, 84: 3}[c] for c in r.split(b"\n")[1]))
+           for r in recs]
+    assert got == exp
+    polya = reads_of(hi)
+    assert len(polya) == 20000 and polya[0] == b"\x00" * 150
