@@ -69,7 +69,7 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
     ps.add_argument("--hmh", "--hyperminhash", dest="hmh", action="store_true", help="also generate a HyperMinHash sketch (extension)")
-    ps.add_argument("--device-flush", dest="device_flush", action="store_true", help="run the histosketch flush on the accelerator (extension; exact output, requires decayRatio=1.0 — the drift scan's threshold evolves mid-flush and stays on the host)")
+    ps.add_argument("--deviceFlush", "--device-flush", dest="device_flush", action="store_true", help="run the histosketch flush on the accelerator (extension; exact output, requires decayRatio=1.0 — the drift scan's threshold evolves mid-flush and stays on the host)")
     ps.add_argument("--checkpoint", type=str, default="", help="write a resumable state snapshot after every interval flush (extension; requires -i, single-process only)")
     ps.add_argument("--resume", type=str, default="", help="resume a sketch run from a --checkpoint snapshot (extension)")
 
@@ -496,12 +496,14 @@ def _apply_platform_env() -> None:
 def _smash_matrix_device(sketches, ordering, metric, ksize, algo):
     """[N, N] distance matrix via the blocked device kernels.
 
-    The weighted kernel sums row-normalized weights with Kahan-compensated
-    f32 adds (ops/distance.py) — absolute error provably below
-    wjd_recheck_margin (~1e-6). Any cell within that margin of a %.2f
-    rounding boundary is recomputed through the bit-exact host path, so
-    the CSV this feeds is provably identical to an all-host run (expected
-    fixups: ~0.2% of cells at uniform value distribution)."""
+    The weighted kernel accumulates row-normalized weights in an f64
+    lax.scan and performs ONE final f32 cast per result cell (transport
+    compression; ops/distance.wjd_block_body) — absolute error provably
+    below wjd_recheck_margin (~5e-7: ~s*2^-53 from the f64 normalize +
+    reassociation, plus 2^-24 from the single cast). Any cell within that
+    margin of a %.2f rounding boundary is recomputed through the bit-exact
+    host path, so the CSV this feeds is provably identical to an all-host
+    run (expected fixups: ~0.01% of cells at uniform value distribution)."""
     import numpy as np
 
     objs = [sketches[f].find_sketch(ksize, algo) for f in ordering]

@@ -163,8 +163,11 @@ def flush_exact_native(bins, freqs, row_bins, cms, c_t, b_t, er_t, sketch,
     bins64 = np.ascontiguousarray(bins, dtype=np.int64)
     freqs64 = np.ascontiguousarray(freqs, dtype=np.float64)
     rb = np.ascontiguousarray(row_bins.T, dtype=np.int32)  # [n, depth]
-    assert cms.flags.c_contiguous and sketch.flags.c_contiguous
-    assert weights.flags.c_contiguous
+    # hard errors, not asserts: python -O would strip asserts and a
+    # non-contiguous array here becomes a silent native out-of-bounds read
+    if not (cms.flags.c_contiguous and sketch.flags.c_contiguous
+            and weights.flags.c_contiguous):
+        raise ValueError("flush_exact_native requires C-contiguous state arrays")
     lib.hulk_flush_exact(
         n, _ptr(bins64), _ptr(freqs64), _ptr(rb), _ptr(cms), depth, width,
         s, dims, _ptr(c_t), _ptr(b_t), _ptr(er_t), _ptr(sketch), _ptr(weights),
@@ -184,21 +187,41 @@ def gunzip_available() -> bool:
 # allocation during decompression measures ~2 s extra on the first call (the
 # kernel zeroes every page serially on the decompressor's thread); reusing
 # one warm buffer — pre-touched in parallel on growth — keeps gunzip at
-# libdeflate speed (~700-800 MB/s here) from the first file on.
+# libdeflate speed (~700-800 MB/s here) from the first file on. Guarded by
+# _gunzip_lock: concurrent gunzip_bytes calls serialise on the buffer
+# instead of corrupting each other.
+import threading
+
 _gunzip_buf: np.ndarray | None = None
+_gunzip_lock = threading.Lock()
 
 
 def _gunzip_out(cap: int) -> np.ndarray:
+    # caller holds _gunzip_lock
     global _gunzip_buf
     if _gunzip_buf is None or _gunzip_buf.shape[0] < cap:
-        # floor at 512 MB: page faults cost ~17 us each here (~1.3 s for
-        # 500 MB of 4 KB pages, madvise(HUGEPAGE) notwithstanding), so pay
-        # the fault-in ONCE at first use — typically inside a warmup — and
-        # never on a subsequent (larger) file at this floor
-        cap = max(cap, 512 << 20)
-        _gunzip_buf = np.empty(cap, dtype=np.uint8)
-        _load().hulk_touch_pages(_ptr(_gunzip_buf), cap)
+        # round up to the next power of two with a small floor: page faults
+        # cost ~17 us each here (~1.3 s for 500 MB of 4 KB pages), so sizing
+        # from the first real input — instead of a fixed multi-hundred-MB
+        # floor — avoids retaining 512 MB for tiny .gz files while still
+        # paying each growth step's fault-in only once (pre-touched in
+        # parallel by hulk_touch_pages, off the decompressor's thread)
+        want = 64 << 20
+        while want < cap:
+            want *= 2
+        _gunzip_buf = np.empty(want, dtype=np.uint8)
+        _load().hulk_touch_pages(_ptr(_gunzip_buf), want)
     return _gunzip_buf
+
+
+def gunzip_prefault(cap: int) -> None:
+    """Pre-fault the persistent gunzip output buffer to >= cap bytes (e.g.
+    from a warmup, so the first real file's decompression never page-faults
+    in-band)."""
+    if _load() is None:
+        return
+    with _gunzip_lock:
+        _gunzip_out(int(cap))
 
 
 def gunzip_bytes(data: bytes, copy: bool = True) -> np.ndarray | None:
@@ -208,23 +231,27 @@ def gunzip_bytes(data: bytes, copy: bool = True) -> np.ndarray | None:
     starts at 8x the compressed size and doubles on overflow (multi-member
     and high-ratio inputs are handled by the native loop / the retry).
 
-    copy=False returns a view into a persistent module-level buffer that is
-    INVALIDATED by the next gunzip_bytes call — only for callers that fully
-    consume (or copy out of) the result before decompressing again."""
+    Thread safety: the shared output buffer is lock-guarded, so concurrent
+    copy=True calls are safe (the copy happens under the lock). copy=False
+    returns a view into the persistent module-level buffer that is
+    INVALIDATED by the next gunzip_bytes call from ANY thread — only for
+    single-threaded callers that fully consume (or copy out of) the result
+    before decompressing again."""
     lib = _load()
     if lib is None or not lib.hulk_gunzip_available():
         return None
     src = np.frombuffer(data, dtype=np.uint8)
     cap = max(8 * src.shape[0], 1 << 20)
-    while True:
-        out = _gunzip_out(cap)
-        n = lib.hulk_gunzip(_ptr(src), src.shape[0], _ptr(out), cap)
-        if n >= 0:
-            return out[:n].copy() if copy else out[:n]
-        if n == -2:
-            cap *= 2
-            continue
-        return None
+    with _gunzip_lock:
+        while True:
+            out = _gunzip_out(cap)
+            n = lib.hulk_gunzip(_ptr(src), src.shape[0], _ptr(out), cap)
+            if n >= 0:
+                return out[:n].copy() if copy else out[:n]
+            if n == -2:
+                cap *= 2
+                continue
+            return None
 
 
 # ---- transfer-group packing ------------------------------------------------
@@ -247,7 +274,8 @@ def pack_group(batches, g: int, r: int, l: int) -> np.ndarray | None:
     for i in range(g):
         if i < len(batches):
             codes, lengths = batches[i]
-            assert codes.flags.c_contiguous
+            if not codes.flags.c_contiguous:
+                raise ValueError("pack_group requires C-contiguous codes")
             rows, stride = codes.shape
             lengths = np.ascontiguousarray(lengths, dtype=np.int32)
         else:
@@ -268,7 +296,8 @@ def pack_group2(batches, g: int, r: int, l: int) -> np.ndarray | None:
     lib = _load()
     if lib is None:
         return None
-    assert l % 8 == 0
+    if l % 8 != 0:
+        raise ValueError("pack_group2 requires l % 8 == 0")
     l4, l8 = l // 4, l // 8
     ncodes = g * r * l4
     nmask = g * r * l8
@@ -277,7 +306,8 @@ def pack_group2(batches, g: int, r: int, l: int) -> np.ndarray | None:
     for i in range(g):
         if i < len(batches):
             codes, lengths = batches[i]
-            assert codes.flags.c_contiguous
+            if not codes.flags.c_contiguous:
+                raise ValueError("pack_group2 requires C-contiguous codes")
             rows, stride = codes.shape
             lengths = np.ascontiguousarray(lengths, dtype=np.int32)
         else:
@@ -426,7 +456,11 @@ class NativeFastqPacker:
                 _ptr(lengths), cap, self.stride, _ptr(consumed),
                 _ptr(phase_out),
             )
-            assert n >= 0, "cap sized from hulk_count_lines"
+            if n < 0:
+                raise RuntimeError(
+                    "native parser overflow despite cap sized from "
+                    "hulk_count_lines"
+                )
             if n and int(lengths[:n].max()) >= self.stride:
                 if self.stride >= self.cap_len:
                     raise ValueError(
@@ -435,7 +469,11 @@ class NativeFastqPacker:
                 self.stride = min(self.stride * 4, self.cap_len)
                 continue
             break
-        assert int(consumed[0]) == buf.shape[0]  # buffer ends on a newline
+        if int(consumed[0]) != buf.shape[0]:  # buffer must end on a newline
+            raise RuntimeError(
+                "native parser consumed a partial buffer "
+                f"({int(consumed[0])} of {buf.shape[0]} bytes)"
+            )
         self.phase[0] = int(phase_out[0])
         return [(codes[:n], lengths[:n])] if n else []
 

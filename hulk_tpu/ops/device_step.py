@@ -436,7 +436,8 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
     Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
     hmh [m] u64 (dummy [1] arrays when the corresponding flag is off).
     Bit-equal to G calls of sketch_stream_step_fused + the device sketch
-    updates (tests/test_device_parity.py). Requires fused_bits_ok(k, r).
+    updates (tests/test_pipeline.py::test_group_step_matches_per_batch_steps).
+    Requires fused_bits_ok(k, r).
     packed2 selects the v2 flat layout (2-bit codes + N bitmask; identical
     reconstructed codes, ~25% fewer transfer bytes)."""
     return group_scan_body(

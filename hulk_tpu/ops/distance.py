@@ -87,27 +87,44 @@ def wjd_block_body(a, wn, b):
 _wjd_block = jax.jit(wjd_block_body)
 
 
+# Max result blocks in flight per pairwise call: dispatch stays async (the
+# fixed per-roundtrip tunnel cost is amortised across the window) but device
+# memory for un-fetched results is bounded at MAX_PENDING_BLOCKS *
+# block*col_block*4 B (~256 MB at the defaults) instead of the whole N^2
+# matrix — at N=100k the full f32 matrix would be ~40 GB and OOM the HBM.
+MAX_PENDING_BLOCKS = 32
+
+
+def _drain_oldest(pend, out, col_block, n, postproc, keep: int) -> None:
+    """Fetch (np.asarray) the oldest pending blocks until <= keep remain."""
+    while len(pend) > keep:
+        i, j, block_rows, d = pend.pop(0)
+        lo, hi = j * col_block, min((j + 1) * col_block, n)
+        out[i * block_rows : (i + 1) * block_rows, lo:hi] = postproc(
+            np.asarray(d)[:, : hi - lo]
+        )
+
+
 def pairwise_jaccard_sim(mins, *, block: int = 512, col_block: int = 4096):
     """[N, s] sketch mins -> [N, N] positional-match similarity (fraction).
     Match counts are small integers, so i32 accumulation + one f64 divide is
     exact. Blocked in both dimensions: device memory stays at
-    block*col_block*s regardless of N."""
+    block*col_block*s regardless of N, and at most MAX_PENDING_BLOCKS result
+    blocks live on device before the oldest is fetched."""
     mins = np.asarray(mins)
     n, s = mins.shape
     mp, nb = _pad_rows(mins, block)
     mc, nc = _pad_rows(mins, col_block)
     out = np.empty((nb * block, n), dtype=np.float64)
+    post = lambda c: c / s
     pend = []
     for i in range(nb):
         a = mp[i * block : (i + 1) * block]
         for j in range(nc):
             b = mc[j * col_block : (j + 1) * col_block]
-            pend.append((i, j, _jaccard_block(a, b)))
-    for i, j, cnt in pend:
-        lo, hi = j * col_block, min((j + 1) * col_block, n)
-        out[i * block : (i + 1) * block, lo:hi] = (
-            np.asarray(cnt)[:, : hi - lo] / s
-        )
+            pend.append((i, j, block, _jaccard_block(a, b)))
+            _drain_oldest(pend, out, col_block, n, post, MAX_PENDING_BLOCKS)
+    _drain_oldest(pend, out, col_block, n, post, 0)
     return out[:n]
 
 
@@ -126,17 +143,19 @@ def pairwise_weighted_jaccard_dist(mins, weights, *, block: int = 512,
     wp, _ = _pad_rows(wnorm, block)
     mc, nc = _pad_rows(mins, col_block)
     out = np.empty((nb * block, n), dtype=np.float64)
-    # dispatch every block async, fetch afterwards: per-block np.asarray
-    # would serialize dispatch -> device -> D2H per block (the fixed
-    # per-roundtrip cost dominates at small N through a remote runtime)
+    # dispatch blocks async, fetch behind a bounded window: strictly
+    # per-block np.asarray would serialize dispatch -> device -> D2H per
+    # block (the fixed per-roundtrip cost dominates at small N through a
+    # remote runtime), while an unbounded window would hold the whole f32
+    # result matrix on device (OOM risk at large N)
+    post = lambda d: d
     pend = []
     for i in range(nb):
         a = mp[i * block : (i + 1) * block]
         wa = wp[i * block : (i + 1) * block]
         for j in range(nc):
             b = mc[j * col_block : (j + 1) * col_block]
-            pend.append((i, j, _wjd_block(a, wa, b)))
-    for i, j, d in pend:
-        lo, hi = j * col_block, min((j + 1) * col_block, n)
-        out[i * block : (i + 1) * block, lo:hi] = np.asarray(d)[:, : hi - lo]
+            pend.append((i, j, block, _wjd_block(a, wa, b)))
+            _drain_oldest(pend, out, col_block, n, post, MAX_PENDING_BLOCKS)
+    _drain_oldest(pend, out, col_block, n, post, 0)
     return out[:n]

@@ -75,7 +75,7 @@ def sharded_similarity(mesh: Mesh):
     return fn
 
 
-def _candidate_sims(forest, query_mins: np.ndarray):
+def _candidate_sims(forest, query_mins: np.ndarray, cands=None):
     """LSH candidates per query + their exact positional similarities.
 
     The LSH tables already narrow each query to a handful of candidates, so
@@ -84,7 +84,8 @@ def _candidate_sims(forest, query_mins: np.ndarray):
     ranking produces (integer match count / s), without materialising or
     transferring a [Q, N] matrix. Returns (cands list, sims list)."""
     mins = forest.mins_matrix
-    cands = [forest.candidates(query_mins[qi]) for qi in range(query_mins.shape[0])]
+    if cands is None:
+        cands = [forest.candidates(query_mins[qi]) for qi in range(query_mins.shape[0])]
     qi_flat = np.repeat(np.arange(len(cands)), [c.size for c in cands])
     c_flat = np.concatenate(cands) if cands else np.empty(0, dtype=np.int64)
     if c_flat.size == 0:
@@ -97,13 +98,38 @@ def _candidate_sims(forest, query_mins: np.ndarray):
     return cands, np.split(sims_flat, splits)
 
 
+# Candidate-set density above which the batched device ranking beats the
+# host vectorised candidate scoring: scoring cost is ~Q*N*s either way at
+# this density, but the device matmul runs at ~10^9 cells/s vs ~10^7 on
+# host, so the crossover is early; 25% leaves margin for the [Q, N]
+# transfer cost through a remote runtime.
+_DEVICE_RANK_DENSITY = 0.25
+
+
 def sharded_lsh_search(mesh: Mesh, forest, query_mins: np.ndarray, thresh: float | None = None):
     """Full LSH search: host candidate filter + exact candidate-only
-    similarity (see _candidate_sims). `mesh` engages the sharded device
-    ranking only when a query's candidate set is a large fraction of the
-    corpus (low thresholds), where batched device ranking wins."""
+    similarity (see _candidate_sims). When the candidate sets are a large
+    fraction of the corpus (low thresholds make banding unselective), the
+    per-candidate host scoring degenerates to an O(Q*N*s) host pass — the
+    `mesh` then engages the sharded device ranking (sharded_sims) and the
+    candidate similarities are read out of the [Q, N] device matrix
+    instead. Both paths produce the identical f64 value (integer match
+    count / s), so results do not depend on which engaged."""
     t = forest.jaccard_thresh if thresh is None else thresh
-    cands, csims = _candidate_sims(forest, query_mins)
+    mins = forest.mins_matrix
+    n = mins.shape[0]
+    cands = [forest.candidates(query_mins[qi]) for qi in range(query_mins.shape[0])]
+    total_cand = sum(c.size for c in cands)
+    if (
+        mesh is not None
+        and n > 0
+        and query_mins.shape[0] > 0
+        and total_cand >= _DEVICE_RANK_DENSITY * query_mins.shape[0] * n
+    ):
+        sims_full, _ = sharded_sims(mesh, forest, query_mins)
+        csims = [sims_full[qi, c.astype(np.intp)] for qi, c in enumerate(cands)]
+    else:
+        cands, csims = _candidate_sims(forest, query_mins, cands)
     out = []
     for qi in range(query_mins.shape[0]):
         cand, s = cands[qi], csims[qi]

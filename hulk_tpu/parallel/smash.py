@@ -75,6 +75,17 @@ def sharded_wjd_rows(mins, weights, lo: int, hi: int, *, ndev: int | None = None
     out = np.empty((nr, n), dtype=np.float64)
     mp = _pad_rows_to(mins[lo:hi], row_step)
     wp = _pad_rows_to(wnorm[lo:hi], row_step)
+
+    def drain(pend, keep):
+        # bounded in-flight window (see ops/distance.MAX_PENDING_BLOCKS):
+        # dispatch stays async, un-fetched device results stay O(cap)
+        while len(pend) > keep:
+            i, j, cb, d = pend.pop(0)
+            hi_r = min(i + row_step, nr)
+            out[i:hi_r, j : j + cb] = np.asarray(d)[: hi_r - i]
+
+    from hulk_tpu.ops.distance import MAX_PENDING_BLOCKS
+
     pend = []
     for i in range(0, mp.shape[0], row_step):
         a = mp[i : i + row_step]
@@ -82,9 +93,8 @@ def sharded_wjd_rows(mins, weights, lo: int, hi: int, *, ndev: int | None = None
         for j in range(0, n, col_block):
             pend.append((i, j, mins[j : j + col_block].shape[0],
                          fn(a, wa, mins[j : j + col_block])))
-    for i, j, cb, d in pend:
-        hi_r = min(i + row_step, nr)
-        out[i:hi_r, j : j + cb] = np.asarray(d)[: hi_r - i]
+            drain(pend, MAX_PENDING_BLOCKS)
+    drain(pend, 0)
     return out
 
 

@@ -30,8 +30,8 @@ def test_pairwise_wjd_matches_scalar_with_subject_bug():
                 mins[i].astype(np.float64), mins[j].astype(np.float64),
                 weights[i], weights[i],
             )
-            # compensated-f32 device kernel: error provably inside the
-            # recheck margin (the CLI re-checks boundary cells exactly)
+            # f64-scan + single-f32-cast device kernel: error provably
+            # inside the recheck margin (the CLI re-checks boundary cells)
             assert abs(dm[i, j] - d) < wjd_recheck_margin(42)
     assert np.allclose(np.diag(dm), 0.0)
 
@@ -43,7 +43,7 @@ def test_pairwise_wjd_margin_holds_at_extreme_magnitudes():
     from hulk_tpu.ops.distance import wjd_recheck_margin
 
     rng = np.random.default_rng(5)
-    s = 512  # big sketches stress the s-independence of the Kahan bound
+    s = 512  # big sketches stress the s-independence of the margin bound
     mins = rng.integers(0, 6, (17, s), dtype=np.int64)
     weights = 10.0 ** rng.uniform(-60, 60, (17, s))
     dm = np.asarray(pairwise_weighted_jaccard_dist(mins, weights))
