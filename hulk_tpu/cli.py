@@ -208,6 +208,20 @@ def run_sketch(args) -> None:
             jax.process_index(), jax.process_count(), len(fastq), len(all_files),
         )
 
+    # backend-stall watchdog (stream/watchdog.py): probe the device data
+    # path before consuming input; a wedged tunnel connection re-execs the
+    # process (fresh connection) instead of hanging forever. Re-exec is
+    # only transparent for single-process, file-input runs.
+    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+
+    try:
+        ensure_backend_alive(
+            allow_reexec=bool(fastq) and jax.process_count() == 1
+        )
+    except BackendStallError as e:
+        _error_check(str(e))
+        return
+
     log.info("initialising sketching pipeline...")
     log.info("finding minimizers...")
     from hulk_tpu import native
@@ -322,6 +336,17 @@ def run_smash(args) -> None:
         return
 
     import jax
+
+    # backend-stall watchdog (same rationale as run_sketch; smash's device
+    # kernels hit the same data path). Inputs are files, so re-exec is
+    # always transparent for single-process runs.
+    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+
+    try:
+        ensure_backend_alive(allow_reexec=jax.process_count() == 1)
+    except BackendStallError as e:
+        _error_check(str(e))
+        return
 
     # multi-host smash: shard the JSON loads round-robin, allgather the
     # [n_i, s] mins+weights, shard the matrix row blocks per process (each

@@ -322,6 +322,26 @@ def pack_group2(batches, g: int, r: int, l: int) -> np.ndarray | None:
 
 # ---- FASTQ packing ---------------------------------------------------------
 
+
+class LongSeq:
+    """One record too long for the strided packers (>= cap_len bases).
+
+    The packers emit these IN STREAM ORDER among the normal (codes, lengths)
+    pairs; the caller routes them to the blockwise scanner
+    (ops/longread.py). The reference has no length cap
+    (src/minimizer/minimizer.go:62-76), so neither does this parser."""
+
+    __slots__ = ("codes",)
+
+    def __init__(self, codes: np.ndarray):
+        self.codes = codes  # [L] uint8 base codes (0-4)
+
+
+def _nt4_table() -> np.ndarray:
+    from hulk_tpu.ops.encode import SEQ_NT4_TABLE
+
+    return SEQ_NT4_TABLE
+
 def _rfind_nl(a: np.ndarray) -> int:
     """Index of the last 0x0A in a uint8 array (-1 if none): backward block
     scan, so whole-buffer feeds don't pay a full-array pass."""
@@ -428,17 +448,59 @@ class NativeFastqPacker:
             )
             if nreads and int(lengths[:nreads].max()) >= self.stride:
                 # a read was truncated: rewind and retry with a larger stride
-                if self.stride >= self.cap_len:
-                    raise ValueError(
-                        f"read exceeds max supported length {self.cap_len}"
-                    )
-                self.stride = min(self.stride * 4, self.cap_len)
                 self.phase[0] = saved_phase
+                if self.stride >= self.cap_len:
+                    # a sequence line at/over the stride cap: line-level
+                    # parse of the remainder, long reads emitted as LongSeq
+                    out.extend(self._feed_overflow(buf[pos:]))
+                    return out
+                self.stride = min(self.stride * 4, self.cap_len)
                 continue
             pos += int(consumed[0])
             if nreads == 0:
                 break
             out.append((codes[:nreads], lengths[:nreads]))
+        return out
+
+    def _feed_overflow(self, buf):
+        """Whole-lines buffer containing >= 1 sequence line at/over the
+        stride cap: native-parse the normal line segments, emit oversize
+        sequence lines (in order) as LongSeq. Rows for the normal reads are
+        bit-identical to an all-native parse (the segment sub-parses run
+        the same hulk_pack_fastq with the correct starting phase)."""
+        nt4 = _nt4_table()
+        nl = np.flatnonzero(buf == 0x0A)
+        starts = np.concatenate([[0], nl[:-1] + 1]) if nl.shape[0] else nl
+        raw_len = nl - starts
+        base_phase = int(self.phase[0])
+        phases = (base_phase + np.arange(nl.shape[0])) & 3
+        long_idx = np.flatnonzero((phases == 1) & (raw_len >= self.cap_len))
+        out = []
+
+        def native_segment(line_lo: int, line_hi: int):
+            if line_hi <= line_lo:
+                return
+            sub = buf[int(starts[line_lo]) : int(nl[line_hi - 1]) + 1]
+            saved = int(self.phase[0])
+            self.phase[0] = int(phases[line_lo])
+            # segments contain no oversize sequence lines, so neither path
+            # can recurse back here
+            if sub.shape[0] >= self.PAR_MIN_BYTES:
+                out.extend(self._feed_par(np.ascontiguousarray(sub)))
+            else:
+                out.extend(self._feed_serial_buf(sub))
+            self.phase[0] = saved
+
+        seg = 0
+        for li in long_idx:
+            native_segment(seg, int(li))
+            s, e = int(starts[li]), int(nl[li])
+            if e > s and buf[e - 1] == 0x0D:
+                e -= 1
+            out.append(LongSeq(nt4[buf[s:e]]))
+            seg = int(li) + 1
+        native_segment(seg, nl.shape[0])
+        self.phase[0] = (base_phase + nl.shape[0]) & 3
         return out
 
     def _feed_par(self, buf: np.ndarray):
@@ -463,9 +525,10 @@ class NativeFastqPacker:
                 )
             if n and int(lengths[:n].max()) >= self.stride:
                 if self.stride >= self.cap_len:
-                    raise ValueError(
-                        f"read exceeds max supported length {self.cap_len}"
-                    )
+                    # oversize sequence line(s): line-level parse, LongSeq
+                    # emission in order (phase untouched by the failed
+                    # attempts — the par parser commits it only on success)
+                    return self._feed_overflow(buf)
                 self.stride = min(self.stride * 4, self.cap_len)
                 continue
             break
@@ -501,6 +564,11 @@ class NativeFastaPacker:
         self.state = np.zeros(4, dtype=np.int32)  # header/terminated/carry/any
         self.carry = np.zeros(cap_len, dtype=np.uint8)
         self._leftover = b""
+        # long-record mode: [parts...] of an in-progress record whose total
+        # exceeds cap_len (contigs have no length cap); None when the
+        # native strided path owns the carry
+        self._long_parts: list | None = None
+        self._long_header = False
 
     def feed(self, chunk):
         if isinstance(chunk, np.ndarray):  # whole-buffer gunzip path
@@ -513,6 +581,9 @@ class NativeFastaPacker:
         pos = 0
         out = []
         while pos < buf.shape[0]:
+            if self._long_parts is not None:
+                pos = self._consume_long(buf, pos, out)
+                continue
             saved_state = self.state.copy()
             saved_carry = self.carry[: self.stride].copy()
             codes = np.empty((self.cap_reads, self.stride), dtype=np.uint8)
@@ -527,13 +598,21 @@ class NativeFastaPacker:
                 nreads and int(lengths[:nreads].max()) >= self.stride
             )
             if truncated:
-                if self.stride >= self.cap_len:
-                    raise ValueError(
-                        f"record exceeds max supported length {self.cap_len}"
-                    )
-                self.stride = min(self.stride * 4, self.cap_len)
+                # the native parser CLIPS overflowing lines (bases dropped),
+                # so every truncation restores the pre-attempt snapshot and
+                # re-parses; at the stride cap, re-parsing switches to the
+                # Python record loop (no length cap — reference parity,
+                # minimizer.go:62-76; ops/longread.py scans the result)
                 self.state[:] = saved_state
                 self.carry[: saved_carry.shape[0]] = saved_carry
+                if self.stride >= self.cap_len:
+                    self._long_parts = [
+                        self.carry[: int(self.state[2])].copy()
+                    ]
+                    self._long_header = bool(self.state[0])
+                    self.state[2] = 0
+                    continue
+                self.stride = min(self.stride * 4, self.cap_len)
                 continue
             pos += int(consumed[0])
             if nreads == 0:
@@ -543,17 +622,81 @@ class NativeFastaPacker:
             out.append((codes[:nreads], lengths[:nreads]))
         return out
 
+    def _emit_long_record(self, out) -> bool:
+        """Emit the accumulated record; True when it was genuinely long."""
+        total = (
+            np.concatenate(self._long_parts)
+            if self._long_parts
+            else np.empty(0, dtype=np.uint8)
+        )
+        self._long_parts = []
+        L = int(total.shape[0])
+        self.state[3] = 1  # emitted_any
+        if L >= self.cap_len:
+            out.append(LongSeq(total))
+            return True
+        # the record ahead of the long one (or after a discarded junk
+        # prefix) fits after all: emit a normal single-row pair
+        codes = np.empty((1, self.stride), dtype=np.uint8)
+        codes[0, :L] = total
+        out.append((codes, np.array([L], dtype=np.int32)))
+        return False
+
+    def _consume_long(self, buf, pos: int, out) -> int:
+        """Python record loop engaged at a stride-cap overflow: parse
+        records line by line (same state machine as hulk_pack_fasta),
+        emitting oversize ones as LongSeq, until the overflowing record has
+        been emitted — then hand back to the native strided path. Returns
+        the new position."""
+        nt4 = _nt4_table()
+        n = buf.shape[0]
+        nl = np.flatnonzero(buf[pos:] == 0x0A) + pos  # one pass
+        s = pos
+        for e in map(int, nl):
+            le = e
+            if le > s and buf[le - 1] == 0x0D:
+                le -= 1
+            if le == s:  # empty line: terminate file parse
+                if self._long_header:
+                    self._emit_long_record(out)
+                self._long_parts, self._long_header = None, False
+                self.state[1] = 1  # terminated: rest of file is discarded
+                return n
+            if buf[s] == 0x3E:  # '>': record boundary
+                was_long = False
+                if self._long_header:
+                    was_long = self._emit_long_record(out)
+                # (pre-header accumulation is discarded at the first '>')
+                self._long_parts = []
+                self._long_header = True
+                if was_long:
+                    # overflow resolved: native path resumes at this header
+                    self._long_parts = None
+                    self._long_header = False
+                    self.state[0] = 1
+                    self.state[2] = 0
+                    return e + 1
+            else:
+                self._long_parts.append(nt4[buf[s:le]])
+            s = e + 1
+        return n  # record spans feeds: stay in the Python loop
+
     def end_of_file(self):
         """Emit the trailing record; error if the file had no records; reset
         per-file state (header/terminated flags) for the next file."""
         out = self.feed(b"\n") if self._leftover else []
         self._leftover = b""
-        if self.state[0]:  # in-progress record at EOF
+        if self._long_parts is not None:  # Python record loop at EOF
+            if self._long_header:
+                self._emit_long_record(out)
+            self._long_parts, self._long_header = None, False
+        elif self.state[0]:  # in-progress record at EOF
             L = int(self.state[2])
             codes = np.full((1, self.stride), 5, dtype=np.uint8)
             codes[0, :L] = self.carry[:L]
             out.append((codes, np.array([L], dtype=np.int32)))
-        elif not self.state[3]:
+            self.state[3] = 1
+        if not self.state[3]:
             raise ValueError("no FASTA records found")
         self.state[:] = 0
         return out

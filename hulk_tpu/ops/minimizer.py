@@ -34,14 +34,27 @@ from hulk_tpu.hashes.hash64 import hash64_jnp
 _U64MAX = np.uint64(0xFFFFFFFFFFFFFFFF)  # np scalar: a jnp scalar would live on device and cost a D2H sync at every lowering
 
 
-@partial(jax.jit, static_argnames=("k", "w"))
-def minimizer_window(codes, lengths, *, k: int, w: int):
+@partial(jax.jit, static_argnames=("k", "w", "cont"))
+def minimizer_window(codes, lengths, *, k: int, w: int, cont: bool = False):
     """Window minima + report mask (the pre-dedup minimizer stream).
 
     Args:
       codes: [R, L] integer array of base codes (0-4; >=5 treated as pad).
       lengths: [R] int32 read lengths.
       k, w: k-mer and window sizes (static; 0<k<32, 0<w<257).
+      cont: rows are CONTINUATION blocks of longer reads (ops/longread.py),
+            overlapping the previous block by w+k-1 bases. Exactness at the
+            seam: the reference's rc rolling k-mer carries N-corruption from
+            base i-k (the unmasked `(3^c)<<bitshift` reaches bit 2k and
+            decays over k right-shifts), so an entry at local position q is
+            bit-identical to the in-context entry iff q >= k; a window
+            reported at local p >= w+k-1 contains only entries q >= k, and
+            every such entry's span is saturated (global position >= k+w-2,
+            so min(pos-(w-2), k) == k — blocks start at global offsets
+            >= block-halo >= w+k-1). Hence for cont rows: span == k
+            everywhere and reporting starts at local position w+k-1; block
+            b's reported window set [b*(S-H)+H, b*(S-H)+S-1] (H = w+k-1)
+            tiles the read's window positions exactly.
 
     Returns:
       wmin:   [R, L] uint64 window minimum ending at each position.
@@ -77,8 +90,12 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
     rc = rc | (comp[:, 0:L] >> 2)  # j == k: only an N (code 4) survives
 
     # span = min(i-w+2, k), then Go converts int32 span -> uint64 (sign-extends)
-    span = np.minimum(pos - (w - 2), k).astype(np.int64)
-    span_u = span.astype(np.uint64)  # host constant, [1, L]; broadcasts below
+    if cont:
+        # continuation blocks: every position's global span is saturated
+        span_u = np.full((1, L), k, dtype=np.uint64)
+    else:
+        span = np.minimum(pos - (w - 2), k).astype(np.int64)
+        span_u = span.astype(np.uint64)  # host constant, [1, L]; broadcasts below
 
     nonsym = fwd != rc
     valid = nonsym & (pos >= (k - 1)) & in_read
@@ -110,7 +127,7 @@ def minimizer_window(codes, lengths, *, k: int, w: int):
         blk_len *= 2
     wmin = acc  # covers w -> exactly L columns
 
-    report = valid & (pos >= (w - 1))
+    report = valid & (pos >= ((w + k - 1) if cont else (w - 1)))
     return wmin, report
 
 

@@ -26,6 +26,18 @@ class FastqError(ValueError):
 
 
 @dataclass
+class LongRead:
+    """ONE read too long for the fixed-shape batched path (> the top length
+    bucket). The pipeline scans it blockwise (ops/longread.py) with bounded
+    memory; it occupies one global read index (interval accounting) like any
+    other read. The reference has no length cap (minimizer.go:62-76)."""
+
+    codes: np.ndarray  # [L] uint8 base codes (0-4)
+    file_idx: int | None = None
+    reads_in_file_end: int | None = None
+
+
+@dataclass
 class RawReads:
     """An UNPADDED batch straight from the native parser: codes is the
     parser's strided [rows, stride] array with garbage beyond each read's
@@ -184,8 +196,10 @@ def batch_reads_native(
     Reads are packed at max_read_len then column-sliced to the smallest
     length bucket covering the batch (keeps XLA compilations bounded).
     Batches are split at cut_every global-read-index multiples so interval
-    flush boundaries match the Python path exactly. Reads at max_read_len are
-    rejected (the packer would truncate silently).
+    flush boundaries match the Python path exactly. Reads at or beyond
+    max_read_len are emitted in stream order as LongRead items for the
+    blockwise scanner (ops/longread.py) — there is NO length cap, matching
+    the reference (minimizer.go:62-76).
 
     start_file/skip_reads implement seek-based checkpoint resume (FASTQ
     only): files before start_file are never opened; the first skip_reads
@@ -241,6 +255,23 @@ def batch_reads_native(
             codes=out_codes, lengths=out_len, file_idx=cur_file,
             reads_in_file_end=file_emitted,
         )
+
+    def emit_item(item):
+        """Route one packer item: a (codes, lengths) pair splits into
+        batches; a LongSeq (record past the stride cap) emits as ONE
+        LongRead occupying one global read index — interval accounting and
+        checkpoint origins stay exact."""
+        nonlocal emitted, file_emitted
+        if isinstance(item, native.LongSeq):
+            emitted += 1
+            file_emitted += 1
+            yield LongRead(
+                codes=item.codes, file_idx=cur_file,
+                reads_in_file_end=file_emitted,
+            )
+            return
+        codes, lengths = item
+        yield from splits(codes, lengths)
 
     def splits(codes, lengths):
         """Slice a packed pair to batch size (the parallel parser returns one
@@ -313,14 +344,14 @@ def batch_reads_native(
         for chunk in prefetch_batches(chunk_src, depth=4):
             if progress is not None:
                 progress["parse_bytes"] = progress.get("parse_bytes", 0) + len(chunk)
-            for codes, lengths in packer.feed(chunk):
-                yield from splits(codes, lengths)
+            for item in packer.feed(chunk):
+                yield from emit_item(item)
         try:
             tail = packer.end_of_file()
         except ValueError as e:
             raise FastqError(str(e)) from None
-        for codes, lengths in tail:
-            yield from splits(codes, lengths)
+        for item in tail:
+            yield from emit_item(item)
 
 
 def batch_reads(
@@ -348,11 +379,20 @@ def batch_reads(
             yield pack_reads(buf, pad_to=cur_bucket, n_reads=batch_size)
             buf, cur_bucket = [], None
 
+    from hulk_tpu.ops.encode import encode_seq
+
     for r in reads:
         L = len(r)
         b = next((x for x in length_buckets if L <= x), None)
         if b is None:
-            b = L  # oversize read: exact-size one-off compile
+            # beyond the top bucket: emit as a LongRead for the blockwise
+            # scanner (unbounded length, bounded memory) instead of an
+            # exact-size one-off compile whose [R, L] intermediates would
+            # explode for contig-scale L
+            yield from flush()
+            emitted += 1
+            yield LongRead(codes=encode_seq(r))
+            continue
         if cur_bucket is not None and (b != cur_bucket or len(buf) >= batch_size):
             yield from flush()
         if cur_bucket is None:

@@ -22,6 +22,7 @@ import numpy as np
 
 from hulk_tpu.io.sketchio import HULKData
 from hulk_tpu.ops.minimizer import minimizer_scan, short_read_mask
+from hulk_tpu.stream.fastq import LongRead
 from hulk_tpu.sketch.histosketch import HistoSketch
 from hulk_tpu.sketch.hyperminhash import HyperMinHash
 from hulk_tpu.sketch.minhash import KHFSketch, KMVSketch
@@ -659,6 +660,26 @@ class _ShardedDeviceStream:
             )
 
 
+_hist_add_jit = None
+
+
+def _merge_host_hist(hist, spectrum):
+    """Add the host spectrum's counts (long-read contributions) onto a
+    device-resident histogram and wipe the host side — the device-flush
+    path's merge point (exact: integer counts)."""
+    global _hist_add_jit
+    import jax
+    import jax.numpy as jnp
+
+    if _hist_add_jit is None:
+        _hist_add_jit = jax.jit(
+            lambda a, b: a + b.astype(jnp.int32), donate_argnums=(0,)
+        )
+    out = _hist_add_jit(hist, jax.device_put(spectrum.bins))
+    spectrum.wipe()
+    return out
+
+
 _sum_shards_jit = None
 
 
@@ -888,7 +909,10 @@ def run_sketch_pipeline(
             done = 0
             for b in src:
                 if done < skip:
-                    done += int((b.lengths > 0).sum())
+                    done += (
+                        1 if isinstance(b, LongRead)
+                        else int((b.lengths > 0).sum())
+                    )
                     if done > skip:
                         raise PipelineError(
                             "resume point does not align with batch cuts"
@@ -923,17 +947,20 @@ def run_sketch_pipeline(
         for batch in batches:
             if batch.file_idx is not None:
                 last_origin = (batch.file_idx, batch.reads_in_file_end)
-            active = batch.lengths > 0
-            bad = short_read_mask(batch.lengths, k, w) & active
-            if bad.any():
-                raise PipelineError("sequence length must be >= w + k - 1")
-            if dev is not None:
-                dev.feed(batch)
-            else:
-                vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
-                vals = np.asarray(vals)
-                mask = np.asarray(mask)
-                flat = vals[mask]
+            if isinstance(batch, LongRead):
+                # a read past the batched path's length cap: blockwise scan
+                # (ops/longread.py — bit-identical to an in-context scan),
+                # host-side state updates. Secondary sketches merge with the
+                # device states exactly (collect() unions/mins/maxes); the
+                # histogram contribution rides the host `spectrum` and is
+                # merged at flush (drain_into adds device counts to it; the
+                # device-flush path adds it onto the device histogram).
+                from hulk_tpu.ops.longread import long_read_minimizers
+
+                L = int(batch.codes.shape[0])
+                if L < w + k - 1:
+                    raise PipelineError("sequence length must be >= w + k - 1")
+                flat = long_read_minimizers(batch.codes, k=k, w=w)
                 minimizer_count += int(flat.shape[0])
                 if flat.shape[0]:
                     spectrum.add_hashes(flat)
@@ -943,9 +970,33 @@ def run_sketch_pipeline(
                         khf.add_hashes(flat)
                     if hmh is not None:
                         hmh.add_hashes(flat)
-            n_in_batch = int(active.sum())
-            seq_count += n_in_batch
-            length_total += int(batch.lengths.sum())
+                n_in_batch = 1
+                seq_count += 1
+                length_total += L
+            else:
+                active = batch.lengths > 0
+                bad = short_read_mask(batch.lengths, k, w) & active
+                if bad.any():
+                    raise PipelineError("sequence length must be >= w + k - 1")
+                if dev is not None:
+                    dev.feed(batch)
+                else:
+                    vals, mask = minimizer_scan(batch.codes, batch.lengths, k=k, w=w)
+                    vals = np.asarray(vals)
+                    mask = np.asarray(mask)
+                    flat = vals[mask]
+                    minimizer_count += int(flat.shape[0])
+                    if flat.shape[0]:
+                        spectrum.add_hashes(flat)
+                        if kmv is not None:
+                            kmv.add_hashes(flat)
+                        if khf is not None:
+                            khf.add_hashes(flat)
+                        if hmh is not None:
+                            hmh.add_hashes(flat)
+                n_in_batch = int(active.sum())
+                seq_count += n_in_batch
+                length_total += int(batch.lengths.sum())
             while seq_count >= next_report:
                 log.info("\tprocessed %d sequences", next_report)
                 next_report += 100_000
@@ -959,6 +1010,9 @@ def run_sketch_pipeline(
                         # runs in the worker thread, overlapped with the next
                         # interval's streaming
                         hist_handle = dev.take_hist()
+                        if spectrum.cardinality() != 0:
+                            # long-read contributions accumulated host-side
+                            hist_handle = _merge_host_hist(hist_handle, spectrum)
                     else:
                         dev.drain_into(spectrum)
                     counters = snap_states = None
@@ -994,7 +1048,10 @@ def run_sketch_pipeline(
         wait_flush()
         if dev is not None:
             if flusher is not None:
-                flusher.flush_from(dev.take_hist())
+                h = dev.take_hist()
+                if spectrum.cardinality() != 0:
+                    h = _merge_host_hist(h, spectrum)
+                flusher.flush_from(h)
                 flusher.sync_cms()
             else:
                 dev.drain_into(spectrum)
