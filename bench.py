@@ -207,6 +207,7 @@ _STAGE_ALLOWANCE = {
     "backend_ok": 150.0,
     "input_ready": 300.0,  # may generate the 1M-read input (~10 s)
     "warmup_done": 420.0,
+    "throwaway_done": 240.0,  # one untimed full window over the real input
     "precheck_done": 240.0,
     "e2e_0": 240.0,
     "e2e_1": 120.0,
@@ -231,7 +232,18 @@ def supervise() -> int:
     import subprocess
     import threading
 
-    for attempt in range(6):
+    for attempt in range(8):
+        if attempt:
+            # spacing between fresh claims: during a terminal outage the
+            # pool needs time to reassign; immediate retries re-land on the
+            # dead terminal (round-5 diagnosis — see docs/PERF.md "Tunnel
+            # wedge pathology")
+            delay = min(15.0 * attempt, 90.0)
+            print(
+                f"# waiting {delay:.0f}s before attempt {attempt} "
+                "(pool reassignment window)", file=sys.stderr,
+            )
+            time.sleep(delay)
         env = dict(os.environ, HULK_BENCH_CHILD="1")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
@@ -294,6 +306,10 @@ def supervise() -> int:
                     break
         t.join(timeout=5.0)
         out = proc.stdout.read()
+        if rc == 17:
+            # child's own fast data-path probe found the connection wedged;
+            # retry with a fresh process/claim like any other wedge
+            continue
         if rc is not None:
             sys.stdout.write(out)
             sys.stdout.flush()
@@ -309,6 +325,22 @@ def main() -> None:
 
     backend = jax.default_backend()
     _stage("backend_ok")
+    if backend != "cpu":
+        # fail fast on a wedged tunnel connection: init and device
+        # enumeration succeed even when the data path is dead (round-5
+        # root-cause, docs/PERF.md "Tunnel wedge pathology"); one echo
+        # readback under a 45 s deadline beats the supervisor's 120 s
+        # CPU-idle detector to the same conclusion
+        from hulk_tpu.stream.watchdog import probe_device_roundtrip
+
+        ok, dt = probe_device_roundtrip(45.0)
+        if not ok:
+            print(
+                "# bench child: device data-path probe stalled (45s); "
+                "exiting for a fresh connection", file=sys.stderr, flush=True,
+            )
+            os._exit(17)
+        print(f"# data-path probe: {dt:.2f}s", file=sys.stderr, flush=True)
     from hulk_tpu.ops.device_step import pallas_supported
 
     pallas = pallas_supported()
@@ -327,6 +359,16 @@ def main() -> None:
     warmup(small)
     t_warm = time.perf_counter() - t0
     _stage("warmup_done")
+
+    # one UNTIMED throwaway window over the REAL input: pays every
+    # first-window cost the steady state doesn't carry — full-size gunzip
+    # buffer fault-in, OS page cache for the 61 MB input, tunnel TCP ramp
+    # and compressor dictionaries, residual compile-cache probes. Round-4
+    # trials ramped 5.35 -> 2.14 s because the first timed windows absorbed
+    # these; the timed trials below now all start warm (VERDICT r4 item 1b).
+    t0 = time.perf_counter()
+    throwaway, _, _ = run_end_to_end(path)
+    _stage("throwaway_done")
 
     exact = precheck_production_step(pallas)
     _stage("precheck_done")
@@ -350,7 +392,8 @@ def main() -> None:
     _stage("smash_done")
 
     print(
-        f"# warmup(compile): {t_warm:.1f}s; e2e best-of-5: {dt:.2f}s "
+        f"# warmup(compile): {t_warm:.1f}s; throwaway window: {throwaway:.2f}s; "
+        f"e2e best-of-5: {dt:.2f}s, median {med:.2f}s "
         f"(trials {['%.2f' % t for t in trials]}; {n_reads} reads, "
         f"{n_min} minimizers); device-only: {dev_rate:,.0f} reads/s; "
         f"smash: {sm_rate:,.0f} cells/s",
@@ -358,7 +401,8 @@ def main() -> None:
     )
     result = {
         "metric": (
-            f"end-to-end reads/s/chip (hulk sketch k={K} s={S}, {READ_LEN}bp, "
+            f"end-to-end reads/s/chip, best of 5 timed windows — median "
+            f"alongside in extra (hulk sketch k={K} s={S}, {READ_LEN}bp, "
             f"gzip+parse+pack+H2D+device stream+exact flush, backend={backend}, "
             f"pallas={pallas}, exact_production_step={exact})"
         ),
@@ -366,10 +410,13 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(e2e / GO_BASELINE_READS_PER_S, 2),
         "extra": {
+            "headline_definition": "best of 5 timed windows after one untimed throwaway window; see e2e_median_reads_per_s / e2e_worst_reads_per_s for the spread",
             "device_only_reads_per_s": round(dev_rate, 1),
             "smash_wjd_cells_per_s": round(sm_rate, 1),
             "vs_go_ceiling_250k": round(e2e / GO_CEILING_READS_PER_S, 2),
+            "median_vs_go_ceiling_250k": round(n_reads / med / GO_CEILING_READS_PER_S, 2),
             "warmup_compile_s": round(t_warm, 1),
+            "throwaway_window_s": round(throwaway, 2),
             "exact_production_step": exact,
             "e2e_trials_s": [round(t, 2) for t in trials],
             "e2e_median_reads_per_s": round(n_reads / med, 1),
