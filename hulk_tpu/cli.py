@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("-i", "--interval", type=int, default=0, help="size of k-mer sampling interval (0 = no interval; single-process only — multi-host runs shard whole files and cannot see the global read order)")
     ps.add_argument("-s", "--sketchSize", type=int, default=50, help="size of sketch")
     ps.add_argument("-x", "--decayRatio", type=float, default=1.0, help="decay ratio used for concept drift (1.0 = disabled)")
-    ps.add_argument("--stream", action="store_true", help="print sketches to STDOUT after every interval (log redirected to disk; snapshots carry the histosketch only — KMV/KHF/HMH states stay on device and appear in the final output)")
+    ps.add_argument("--stream", action="store_true", help="print sketches to STDOUT after every interval (log redirected to disk; snapshots carry the histosketch only unless --streamAll)")
+    ps.add_argument("--streamAll", dest="stream_all", action="store_true", help="with --stream: interval snapshots also carry the KMV/KHF/HMH signatures (extension; costs one device-state sync per interval)")
     ps.add_argument("-b", "--bannerLabel", type=str, default="blank", help="adds a label to the sketch object, for use with BANNER")
     ps.add_argument("--khf", action="store_true", help="also generate a MinHash K-Hash Functions sketch")
     ps.add_argument("--kmv", action="store_true", help="also generate a MinHash K-Minimum Values (bottom-k) sketch")
@@ -189,6 +190,7 @@ def run_sketch(args) -> None:
         checkpoint_path=args.checkpoint or None,
         resume_from=args.resume or None,
         device_flush=args.device_flush,
+        interval_secondary=args.stream_all,
     )
 
     # multi-host: each process takes a static file shard; partial states are

@@ -54,6 +54,11 @@ class SketchConfig:
     input_paths: list | None = None  # set -> native C++ parser feeds batches
     checkpoint_path: str | None = None  # write a snapshot after each interval
     resume_from: str | None = None  # restore a snapshot and skip its reads
+    # opt-in: interval snapshots (on_interval) also carry KMV/KHF/HMH
+    # signatures — costs one device-state readback per interval on the
+    # device stream (the user chose it; closes the documented
+    # histosketch-only snapshot cliff)
+    interval_secondary: bool = False
 
     def resolved_spectrum_size(self) -> int:
         return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
@@ -775,8 +780,9 @@ def run_sketch_pipeline(
     """on_interval: optional callable invoked with a HULKData snapshot of the
     current histosketch after every interval flush — the documented (but
     never implemented) reference `--stream` behaviour (cmd/sketch.go:56).
-    Interval snapshots carry the histosketch signature only; secondary
-    sketches would cost a device sync per interval."""
+    Interval snapshots carry the histosketch signature only, unless
+    cfg.interval_secondary opts into KMV/KHF/HMH signatures too (one
+    device-state readback per interval on the device stream)."""
     k, w = cfg.kmer_size, cfg.window_size
     if not 0 < k < 32:
         raise PipelineError("k size must be: 0 < k < 32")
@@ -818,6 +824,10 @@ def run_sketch_pipeline(
         if on_interval is not None:
             snap = HULKData(filename=cfg.file_name, banner=cfg.banner_label)
             snap.add(hs)
+            if cfg.interval_secondary and snap_states is not None:
+                for obj in snap_states:
+                    if obj is not None:
+                        snap.add(obj)
             on_interval(snap)
         if cfg.checkpoint_path and counters is not None:
             sc, lt, mc = counters
@@ -1016,18 +1026,24 @@ def run_sketch_pipeline(
                     else:
                         dev.drain_into(spectrum)
                     counters = snap_states = None
-                    if cfg.checkpoint_path:
+                    want_snap = cfg.checkpoint_path or (
+                        cfg.interval_secondary and on_interval is not None
+                    )
+                    if want_snap:
                         import copy
 
-                        counters = (
-                            seq_count, length_total,
-                            minimizer_count + dev.minimizer_total(),
-                        )
                         snap_states = (
                             copy.deepcopy(kmv), copy.deepcopy(khf),
                             copy.deepcopy(hmh),
                         )
+                        # one device-state readback per interval — the
+                        # opt-in cost of secondary-sketch snapshots
                         dev.collect(*snap_states)
+                    if cfg.checkpoint_path:
+                        counters = (
+                            seq_count, length_total,
+                            minimizer_count + dev.minimizer_total(),
+                        )
 
                     def _interval_work(h=hist_handle, c=counters,
                                        s=snap_states, o=last_origin):
@@ -1039,9 +1055,17 @@ def run_sketch_pipeline(
 
                     pending = pool.submit(_interval_work)
                 else:
+                    snap_states = None
+                    if cfg.interval_secondary and on_interval is not None:
+                        import copy
+
+                        snap_states = (
+                            copy.deepcopy(kmv), copy.deepcopy(khf),
+                            copy.deepcopy(hmh),
+                        )
                     interval_flush(
                         (seq_count, length_total, minimizer_count),
-                        None, last_origin,
+                        snap_states, last_origin,
                     )
 
         log.info("generating final histosketch of k-mer spectra...")

@@ -542,3 +542,56 @@ def test_device_flush_margin_overflow_falls_back(tables, monkeypatch):
         np.asarray(hs_h.sketch_weights).view(np.uint64),
         np.asarray(hs_d.sketch_weights).view(np.uint64),
     )
+
+
+# ---- opt-in per-interval secondary-sketch snapshots (--streamAll) ---------
+
+
+@pytest.mark.parametrize("device", [False, True])
+def test_interval_secondary_snapshot_equals_final(tables, device):
+    """With interval == stream length, the single interval snapshot is taken
+    after every read: --streamAll snapshots must carry KMV/KHF/HMH states
+    identical to the final output's."""
+    reads = mkreads(64)
+    cfg = SketchConfig(
+        kmer_size=K, window_size=W, sketch_size=S, spectrum_size=DIMS,
+        interval=64, kmv=True, khf=True, hmh=True, interval_secondary=True,
+        device_stream=device, batch_size=16, data_parallel=False,
+    )
+    snaps = []
+    import hulk_tpu.sketch.histosketch as hsmod
+
+    orig = hsmod.get_cws_tables
+    hsmod.get_cws_tables = lambda s, d: tables
+    try:
+        res = run_sketch_pipeline(iter(reads), cfg, on_interval=snaps.append)
+    finally:
+        hsmod.get_cws_tables = orig
+    assert len(snaps) == 1
+    snap_sigs = dict(snaps[0].signatures)
+    final_sigs = dict(res.hulk_data.signatures)
+    assert set(snap_sigs) == {"histosketch", "kmv", "khf", "hyperminhash"}
+    for algo in ("kmv", "khf", "hyperminhash"):
+        np.testing.assert_array_equal(
+            np.asarray(snap_sigs[algo].get_sketch(), dtype=np.uint64),
+            np.asarray(final_sigs[algo].get_sketch(), dtype=np.uint64),
+        )
+
+
+def test_interval_snapshot_default_histosketch_only(tables):
+    reads = mkreads(32)
+    cfg = SketchConfig(
+        kmer_size=K, window_size=W, sketch_size=S, spectrum_size=DIMS,
+        interval=32, kmv=True, khf=True, device_stream=False, batch_size=16,
+        data_parallel=False,
+    )
+    snaps = []
+    import hulk_tpu.sketch.histosketch as hsmod
+
+    orig = hsmod.get_cws_tables
+    hsmod.get_cws_tables = lambda s, d: tables
+    try:
+        run_sketch_pipeline(iter(reads), cfg, on_interval=snaps.append)
+    finally:
+        hsmod.get_cws_tables = orig
+    assert [a for a, _ in snaps[0].signatures] == ["histosketch"]
