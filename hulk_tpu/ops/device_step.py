@@ -160,6 +160,14 @@ def fused_bits_ok(k: int, r: int) -> bool:
     return (2 * k + 8) + max(r - 1, 1).bit_length() <= 64
 
 
+def compact_default() -> bool:
+    """Whether the fused step's per-row sort compaction is on by default
+    (HULK_COMPACT_STEP=1/0 overrides; see stream_step_fused_body)."""
+    import os
+
+    return os.environ.get("HULK_COMPACT_STEP", "0") == "1"
+
+
 # ---- 4-bit transfer packing -------------------------------------------------
 #
 # Base codes are 0..5, so two fit in one byte. Host->device bytes are the
@@ -221,9 +229,32 @@ def bin_scatter_keys(hist, skeys, *, vbits: int, pallas: bool = False):
     return hist
 
 
+def compact_width(L: int, w: int) -> int:
+    """Row-compaction slot count for the compact fused step: expected
+    distinct minimizers per read are ~2L/(w+1) (the classic (w+1)/2
+    density), kept with ~2x headroom and rounded to the 128-lane granule.
+    Rows that overflow (adversarial constructions) divert the whole batch
+    to the exact full-width path via lax.cond."""
+    est = (4 * L) // (w + 1) + 16
+    c = 128
+    while c < est:
+        c += 128
+    return min(c, L)
+
+
 def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
-                           bucket: int, pallas: bool = False):
-    """Unjitted body of sketch_stream_step_fused (shard_map reuse)."""
+                           bucket: int, pallas: bool = False,
+                           compact: bool = False):
+    """Unjitted body of sketch_stream_step_fused (shard_map reuse).
+
+    compact=True inserts a per-row sort compaction before the global key
+    sort: live lanes after the adjacent-run prededup are ~5x fewer than
+    R*L, so each row's masked values row-sort (cheap L-wide segments) into
+    the first compact_width(L, w) slots and only [R, C] lanes enter the
+    global sort — same bit-exact histogram/count/value stream (the global
+    sort of (rid << vbits | value) keys is order-insensitive to which
+    equal-key lane survives, and rows that overflow C divert to the
+    full-width branch)."""
     R, L = codes.shape
     vbits = 2 * k + 8
     if pallas:
@@ -241,34 +272,68 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
     m = report & ~prev_same
     # host constant (an eager device iota would be fetched back at lowering)
     rid = np.arange(R, dtype=np.uint64)[:, None] << np.uint64(vbits)
-    skey = rid | wmin
-    flat = jnp.where(m, skey, _U64SENT).reshape(-1)
-    skeys = jnp.sort(flat)
-
-    # distinct count (the reference's minimizer counter) over full width
-    live = skeys != _U64SENT
-    neq = jnp.concatenate(
-        [jnp.ones_like(skeys[:1], dtype=bool), skeys[1:] != skeys[:-1]]
-    )
-    cnt = jnp.sum(live & neq)
     m_live = jnp.sum(m)  # live lanes incl. surviving duplicates
 
-    if bucket >= flat.shape[0]:
-        hist = bin_scatter_keys(hist, skeys, vbits=vbits, pallas=pallas)
-    else:
-        hist = jax.lax.cond(
-            m_live <= bucket,
-            lambda h: bin_scatter_keys(
-                h, jax.lax.slice(skeys, (0,), (bucket,)), vbits=vbits, pallas=pallas
-            ),
-            lambda h: bin_scatter_keys(h, skeys, vbits=vbits, pallas=pallas),
+    def finish(hist, flat):
+        """Global key sort -> dedup-adjacent -> bin+scatter -> distinct
+        values. flat: [N] sentinel-padded (rid << vbits | value) keys."""
+        skeys = jnp.sort(flat)
+        live = skeys != _U64SENT
+        neq = jnp.concatenate(
+            [jnp.ones_like(skeys[:1], dtype=bool), skeys[1:] != skeys[:-1]]
+        )
+        cnt = jnp.sum(live & neq)
+        if bucket >= flat.shape[0]:
+            hist = bin_scatter_keys(hist, skeys, vbits=vbits, pallas=pallas)
+        else:
+            hist = jax.lax.cond(
+                m_live <= bucket,
+                lambda h: bin_scatter_keys(
+                    h, jax.lax.slice(skeys, (0,), (bucket,)), vbits=vbits,
+                    pallas=pallas,
+                ),
+                lambda h: bin_scatter_keys(h, skeys, vbits=vbits, pallas=pallas),
+                hist,
+            )
+        # distinct values for KHF/HMH feeds (idempotent updates; order-free).
+        # KMV needs VALUE-sorted input — callers use bottom_k_values.
+        vals = jnp.where(
+            live & neq, skeys & np.uint64((1 << vbits) - 1), _U64SENT
+        )
+        return hist, cnt, vals
+
+    C = compact_width(L, w) if compact else L
+    if compact and C < L:
+        # Per-row sort compaction: reported values fit positive i64
+        # (< 2^(2k+8) <= 2^62 on this path), so an i64 row sort with a MAX
+        # sentinel pushes each row's live lanes to the row front and only
+        # [R, C] lanes enter the (much deeper) global sort. Rows that
+        # overflow C divert the batch to the exact full-width branch; the
+        # compact branch's value stream pads back to [R*L] so both
+        # branches return one shape (the pad is cheap — the sorts are not).
+        big = np.int64(0x7FFFFFFFFFFFFFFF)
+        vi = jnp.where(m, wmin.astype(jnp.int64), big)
+        rs = jnp.sort(vi, axis=1)
+        kept = jax.lax.slice(rs, (0, 0), (R, C))
+        overflow = jnp.any(jax.lax.slice(rs, (0, C), (R, C + 1)) != big)
+        kept_u = kept.astype(jnp.uint64)
+        skey_c = jnp.where(kept != big, rid | kept_u, _U64SENT).reshape(-1)
+        skey_f = jnp.where(m, rid | wmin, _U64SENT).reshape(-1)
+
+        def compact_branch(h):
+            h, cnt, vals = finish(h, skey_c)
+            pad = jnp.full((R * (L - C),), _U64SENT, dtype=jnp.uint64)
+            return h, cnt, jnp.concatenate([vals, pad])
+
+        hist, cnt, vals_flat = jax.lax.cond(
+            overflow,
+            lambda h: finish(h, skey_f),
+            compact_branch,
             hist,
         )
-    # distinct values for KHF/HMH feeds (idempotent updates; order-free).
-    # KMV needs globally VALUE-sorted input — callers use the two-sort path.
-    vals_flat = jnp.where(
-        live & neq, skeys & np.uint64((1 << vbits) - 1), _U64SENT
-    )
+    else:
+        flat = jnp.where(m, rid | wmin, _U64SENT).reshape(-1)
+        hist, cnt, vals_flat = finish(hist, flat)
     return hist, count + cnt.astype(count.dtype), vals_flat
 
 
@@ -284,11 +349,12 @@ def bottom_k_values(vals_flat, s: int):
     return jnp.where(asc == big, _U64SENT, asc.astype(jnp.uint64))
 
 
-@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas", "packed4"),
+@partial(jax.jit, static_argnames=("k", "w", "bucket", "pallas", "packed4",
+                                   "compact"),
          donate_argnums=(0, 1))
 def sketch_stream_step_fused(hist, count, codes, lengths, *, k: int, w: int,
                              bucket: int, pallas: bool = False,
-                             packed4: bool = False):
+                             packed4: bool = False, compact: bool = False):
     """Single-sort streaming step (see module comment). Bit-equal histogram
     and count to sketch_stream_step; the returned distinct-value stream is
     read-grouped rather than value-sorted. packed4=True takes nibble-packed
@@ -296,7 +362,8 @@ def sketch_stream_step_fused(hist, count, codes, lengths, *, k: int, w: int,
     if packed4:
         codes = unpack_codes4(codes)
     return stream_step_fused_body(
-        hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas
+        hist, count, codes, lengths, k=k, w=w, bucket=bucket, pallas=pallas,
+        compact=compact,
     )
 
 
@@ -379,7 +446,8 @@ def group_scan_body(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
                     r: int, l: int, k: int, w: int, bucket: int,
                     pallas: bool = False, use_kmv: bool = False,
                     use_khf: bool = False, use_hmh: bool = False,
-                    hmh_pqr=None, packed2: bool = False):
+                    hmh_pqr=None, packed2: bool = False,
+                    compact: bool = False):
     """Unjitted group-scan over one flat transfer buffer (shared by the
     single-device jit below and the dp shard_map in parallel/mesh)."""
     from hulk_tpu.ops.device_sketches import hmh_update, khf_update, kmv_update
@@ -401,7 +469,7 @@ def group_scan_body(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
             codes_full = unpack_codes4(codes_g)
         hist, count, svals = stream_step_fused_body(
             hist, count, codes_full, len_g,
-            k=k, w=w, bucket=bucket, pallas=pallas,
+            k=k, w=w, bucket=bucket, pallas=pallas, compact=compact,
         )
         if use_kmv:
             kmv = kmv_update(kmv, bottom_k_values(svals, kmv.shape[0]))
@@ -422,7 +490,7 @@ def group_scan_body(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
     jax.jit,
     static_argnames=(
         "g", "r", "l", "k", "w", "bucket", "pallas",
-        "use_kmv", "use_khf", "use_hmh", "hmh_pqr", "packed2",
+        "use_kmv", "use_khf", "use_hmh", "hmh_pqr", "packed2", "compact",
     ),
     donate_argnums=(0, 1, 2, 3, 4),
 )
@@ -430,7 +498,8 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
                              r: int, l: int, k: int, w: int, bucket: int,
                              pallas: bool = False, use_kmv: bool = False,
                              use_khf: bool = False, use_hmh: bool = False,
-                             hmh_pqr=None, packed2: bool = False):
+                             hmh_pqr=None, packed2: bool = False,
+                             compact: bool = False):
     """One transfer group of G sub-batches as a single dispatch.
 
     Carries (all donated): hist [nbins] i32, count [] i64, kmv/khf [s] u64,
@@ -443,7 +512,7 @@ def sketch_stream_group_step(hist, count, kmv, khf, hmh, flatbuf, *, g: int,
     return group_scan_body(
         hist, count, kmv, khf, hmh, flatbuf, g=g, r=r, l=l, k=k, w=w,
         bucket=bucket, pallas=pallas, use_kmv=use_kmv, use_khf=use_khf,
-        use_hmh=use_hmh, hmh_pqr=hmh_pqr, packed2=packed2,
+        use_hmh=use_hmh, hmh_pqr=hmh_pqr, packed2=packed2, compact=compact,
     )
 
 

@@ -243,6 +243,8 @@ class _DeviceStream:
                 codes_list += [dead_c] * pad
                 lengths_list += [dead_l] * pad
             flat = build_group_buffer(codes_list, lengths_list)
+        from hulk_tpu.ops.device_step import compact_default
+
         flatbuf = jax.device_put(flat)
         (
             self.hist, self.count, self.kmv_state, self.khf_state,
@@ -253,7 +255,7 @@ class _DeviceStream:
             g=self.GROUP, r=r, l=l, k=cfg.kmer_size, w=cfg.window_size,
             bucket=stream_bucket(r, r * (l + l % 2)), pallas=self.pallas,
             use_kmv=cfg.kmv, use_khf=cfg.khf, use_hmh=cfg.hmh,
-            hmh_pqr=self.hmh_pqr, packed2=packed2,
+            hmh_pqr=self.hmh_pqr, packed2=packed2, compact=compact_default(),
         )
 
     def _step(self, codes, lengths, shape) -> None:

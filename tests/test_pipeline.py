@@ -595,3 +595,106 @@ def test_interval_snapshot_default_histosketch_only(tables):
     finally:
         hsmod.get_cws_tables = orig
     assert [a for a, _ in snaps[0].signatures] == ["histosketch"]
+
+
+# ---- compact fused step (per-row sort compaction before the global sort) --
+
+
+def _rand_codes(r, l, read_len, seed, nfrac=0.01):
+    rng = np.random.default_rng(seed)
+    codes = rng.choice(
+        np.arange(5, dtype=np.uint8), size=(r, l), p=[(1 - nfrac) / 4] * 4 + [nfrac]
+    )
+    codes[:, read_len:] = 5
+    lengths = np.full(r, read_len, dtype=np.int32)
+    return codes, lengths
+
+
+@pytest.mark.parametrize("kk,ww,ll,rl", [(11, 5, 128, 120), (21, 9, 256, 250)])
+def test_compact_step_bit_equal(kk, ww, ll, rl):
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+
+    r = 64
+    codes, lengths = _rand_codes(r, ll, rl, seed=kk * 7)
+    bucket = stream_bucket(r, r * ll)
+    outs = []
+    for compact in (False, True):
+        hist = jnp.zeros(14641, dtype=jnp.int32)
+        count = jnp.zeros((), dtype=jnp.int64)
+        hist, count, svals = sketch_stream_step_fused(
+            hist, count, codes, lengths, k=kk, w=ww, bucket=bucket,
+            compact=compact,
+        )
+        vals = np.asarray(svals)
+        outs.append((np.asarray(hist), int(count), np.sort(vals[vals != np.uint64(2**64 - 1)])))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+
+
+def test_compact_step_overflow_falls_back_exactly(monkeypatch):
+    """A batch where reads have more live lanes than the compaction width:
+    the overflow cond must divert to the full-width branch, keeping
+    exactness. The width is forced tiny via monkeypatch (natural overflow
+    needs adversarial hash sequences); a fresh (k, w, bucket) combination
+    guarantees a fresh trace that sees the patched width."""
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops import device_step as ds
+
+    monkeypatch.setattr(ds, "compact_width", lambda l, w: 32)
+    kk, ww, ll, rl = 13, 7, 256, 256  # ~60 live lanes/row >> 32
+    r = 8
+    codes, lengths = _rand_codes(r, ll, rl, seed=6)
+    bucket = 8 * r  # also exercises the inner bucket-overflow cond
+    outs = []
+    for compact in (False, True):
+        hist = jnp.zeros(28561, dtype=jnp.int32)
+        count = jnp.zeros((), dtype=jnp.int64)
+        hist, count, _ = ds.sketch_stream_step_fused(
+            hist, count, codes, lengths, k=kk, w=ww, bucket=bucket,
+            compact=compact,
+        )
+        outs.append((np.asarray(hist), int(count)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+
+
+def test_group_step_compact_matches_plain(tables):
+    """Grouped scan with compact=True produces the identical carries."""
+    import jax
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        build_group_buffer,
+        sketch_stream_group_step,
+        stream_bucket,
+    )
+
+    g, r, l, rl = 4, 32, 128, 120
+    codes_list, lengths_list = [], []
+    for i in range(g):
+        c, ln = _rand_codes(r, l, rl, seed=100 + i)
+        codes_list.append(c)
+        lengths_list.append(ln)
+    flat = build_group_buffer(codes_list, lengths_list)
+    outs = []
+    for compact in (False, True):
+        hist = jnp.zeros(DIMS, dtype=jnp.int32)
+        count = jnp.zeros((), dtype=jnp.int64)
+        kmv = jnp.full(8, 2**64 - 1, dtype=jnp.uint64)
+        khf = jnp.full(8, 2**64 - 1, dtype=jnp.uint64)
+        hmh = jnp.zeros(1, dtype=jnp.uint64)
+        out = sketch_stream_group_step(
+            hist, count, kmv, khf, hmh, jax.device_put(flat),
+            g=g, r=r, l=l, k=K, w=W, bucket=stream_bucket(r, r * l),
+            use_kmv=True, use_khf=True, compact=compact,
+        )
+        outs.append([np.asarray(x) for x in out])
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
