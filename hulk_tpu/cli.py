@@ -221,8 +221,12 @@ def run_sketch(args) -> None:
             allow_reexec=bool(fastq) and jax.process_count() == 1
         )
     except BackendStallError as e:
-        _error_check(str(e))
-        return
+        from hulk_tpu.stream import watchdog as _wd
+
+        log.error("ERROR---> %s", e)
+        if _wd.unsafe_teardown():
+            os._exit(1)  # abandoned native probe thread aborts teardown
+        raise SystemExit(1)
 
     log.info("initialising sketching pipeline...")
     log.info("finding minimizers...")
@@ -347,8 +351,12 @@ def run_smash(args) -> None:
     try:
         ensure_backend_alive(allow_reexec=jax.process_count() == 1)
     except BackendStallError as e:
-        _error_check(str(e))
-        return
+        from hulk_tpu.stream import watchdog as _wd
+
+        log.error("ERROR---> %s", e)
+        if _wd.unsafe_teardown():
+            os._exit(1)  # abandoned native probe thread aborts teardown
+        raise SystemExit(1)
 
     # multi-host smash: shard the JSON loads round-robin, allgather the
     # [n_i, s] mins+weights, shard the matrix row blocks per process (each

@@ -121,6 +121,7 @@ def make_sharded_group_step(
     use_hmh: bool = False,
     hmh_pqr: tuple | None = None,
     packed2: bool = False,
+    compact: bool = False,
 ):
     """Data-parallel GROUPED stream step: each dp shard consumes its own flat
     transfer buffer (nibble or v2 2-bit layout, g sub-batches of r reads)
@@ -140,7 +141,7 @@ def make_sharded_group_step(
             hist[0], count[0], kmv[0], khf[0], hmh[0], flat[0],
             g=g, r=r, l=l, k=k, w=w, bucket=bucket, pallas=pallas,
             use_kmv=use_kmv, use_khf=use_khf, use_hmh=use_hmh,
-            hmh_pqr=hmh_pqr, packed2=packed2,
+            hmh_pqr=hmh_pqr, packed2=packed2, compact=compact,
         )
         return h[None], c[None], s1[None], s2[None], hm[None]
 

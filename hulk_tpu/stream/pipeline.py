@@ -556,6 +556,8 @@ class _ShardedDeviceStream:
             NamedSharding(self.mesh, P("dp", None)),
             [jax.device_put(b[None], d) for b, d in zip(shard_bufs, devs)],
         )
+        from hulk_tpu.ops.device_step import compact_default
+
         step = self._steps.get((rs, l, packed2))
         if step is None:
             step = self._steps[(rs, l, packed2)] = make_sharded_group_step(
@@ -564,6 +566,7 @@ class _ShardedDeviceStream:
                 bucket=stream_bucket(rs, rs * (l + l % 2)),
                 pallas=self.pallas, use_kmv=cfg.kmv, use_khf=cfg.khf,
                 use_hmh=cfg.hmh, hmh_pqr=self._hmh_pqr, packed2=packed2,
+                compact=compact_default(),
             )
         (
             self.hist, self.count, self.kmv_state, self.khf_state,

@@ -52,6 +52,17 @@ class BackendStallError(RuntimeError):
     """The device backend failed to answer the data-path probe in time."""
 
 
+_abandoned_probe = False
+
+
+def unsafe_teardown() -> bool:
+    """True when a real probe thread was abandoned mid-native-call: normal
+    interpreter teardown then aborts (the runtime's C++ unwinds across the
+    parked thread — observed 'FATAL: exception not rethrown' SIGABRT).
+    Callers that are about to exit should use os._exit instead."""
+    return _abandoned_probe
+
+
 def probe_device_roundtrip(timeout_s: float, _op=None) -> tuple[bool, float]:
     """Run one tiny host->device->host round trip under a deadline.
 
@@ -88,6 +99,9 @@ def probe_device_roundtrip(timeout_s: float, _op=None) -> tuple[bool, float]:
     dt = time.monotonic() - t0
     if ok and err:
         raise err[0]
+    if not ok and _op is None:
+        global _abandoned_probe
+        _abandoned_probe = True
     return ok, dt
 
 

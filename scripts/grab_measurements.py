@@ -29,7 +29,7 @@ def main() -> int:
         ok, dt = probe_device_roundtrip(45.0)
         if not ok:
             print("# data path wedged (45s probe)", flush=True)
-            return 17
+            os._exit(17)  # abandoned native probe thread aborts teardown
         print(f"# data path alive ({dt:.2f}s)", flush=True)
 
     # ---- 1. step variants -------------------------------------------------
