@@ -310,3 +310,54 @@ def test_batch_reads_python_long():
     assert "LongRead" in kinds
     lr = [i for i in items if isinstance(i, LongRead)][0]
     assert lr.codes.shape[0] == 70_000
+
+
+@needs_native
+def test_checkpoint_resume_with_long_reads(tmp_path, tables):
+    """Seek-based resume across a stream containing LongReads: the resumed
+    run bit-matches the uninterrupted run (long reads are one record = 4
+    FASTQ lines, so newline-count seeking stays aligned)."""
+    rng = np.random.default_rng(41)
+    recs = (
+        [_rand_bases(rng, 400) for _ in range(4)]
+        + [_rand_bases(rng, 70_000)]
+        + [_rand_bases(rng, 400) for _ in range(3)]
+    )
+    path = str(tmp_path / "ck.fq.gz")
+    with gzip.open(path, "wb") as fh:
+        fh.write(_fastq_bytes(recs))
+    ck = str(tmp_path / "state.npz")
+    kw = dict(
+        kmer_size=K, window_size=W, sketch_size=S, spectrum_size=DIMS,
+        interval=2, batch_size=4, data_parallel=False, device_stream=True,
+        kmv=True, khf=True, input_paths=[path],
+    )
+    import hulk_tpu.sketch.histosketch as hsmod
+
+    orig = hsmod.get_cws_tables
+    hsmod.get_cws_tables = lambda s, d: tables
+    try:
+        full = run_sketch_pipeline(None, SketchConfig(**kw))
+        # run a 6-record prefix with checkpoints (covers the long read)
+        p2 = str(tmp_path / "prefix.fq.gz")
+        with gzip.open(p2, "wb") as fh:
+            fh.write(_fastq_bytes(recs[:6]))
+        run_sketch_pipeline(
+            None, SketchConfig(**{**kw, "input_paths": [p2]},
+                               checkpoint_path=ck),
+        )
+        assert os.path.exists(ck)
+        resumed = run_sketch_pipeline(
+            None, SketchConfig(**kw, resume_from=ck)
+        )
+    finally:
+        hsmod.get_cws_tables = orig
+    s_full = dict(full.hulk_data.signatures)
+    s_res = dict(resumed.hulk_data.signatures)
+    for algo in ("histosketch", "kmv", "khf"):
+        np.testing.assert_array_equal(
+            np.asarray(s_full[algo].get_sketch(), dtype=np.uint64),
+            np.asarray(s_res[algo].get_sketch(), dtype=np.uint64),
+        )
+    assert resumed.minimizer_count == full.minimizer_count
+    assert resumed.seq_count == full.seq_count
