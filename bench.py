@@ -41,7 +41,7 @@ K, W, S = 21, 9, 42
 NBINS = K ** 4
 READ_LEN = 150
 N_READS = 1_000_000
-BATCH = 8192
+BATCH = 16384  # largest fused-capable R at k=21 (round-5 measured +19% vs 8192)
 L_BUCKET = 160  # the length bucket 150 bp reads land in
 
 
@@ -69,6 +69,7 @@ def precheck_production_step(pallas: bool) -> bool:
     import jax.numpy as jnp
 
     from hulk_tpu.ops.device_step import (
+        compact_default,
         fused_bits_ok,
         sketch_stream_step_fused,
         stream_bucket,
@@ -90,6 +91,7 @@ def precheck_production_step(pallas: bool) -> bool:
     hist, count, _ = sketch_stream_step_fused(
         hist, count, jax.device_put(codes), jax.device_put(lengths),
         k=K, w=W, bucket=stream_bucket(r, r * L_BUCKET), pallas=pallas,
+        compact=compact_default(),
     )
     dev_hist = np.asarray(hist).astype(np.float64)
     dev_count = int(count)
@@ -137,6 +139,7 @@ def device_only_rate() -> float:
 
     from hulk_tpu.hashes.cws import get_cws_tables
     from hulk_tpu.ops.device_step import (
+        compact_default,
         pallas_supported,
         sketch_stream_step_fused,
         stream_bucket,
@@ -151,11 +154,13 @@ def device_only_rate() -> float:
     dev_lengths = jax.device_put(lengths)
     bucket = stream_bucket(BATCH, BATCH * L_BUCKET)
     pallas = pallas_supported()
+    compact = compact_default()
 
     hist = jnp.zeros((NBINS,), dtype=jnp.int32)
     count = jnp.zeros((), dtype=jnp.int64)
     hist, count, _ = sketch_stream_step_fused(
-        hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket, pallas=pallas
+        hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket,
+        pallas=pallas, compact=compact,
     )
     _ = np.asarray(hist)  # force (block_until_ready does not force via tunnels)
 
@@ -163,7 +168,8 @@ def device_only_rate() -> float:
     t0 = time.perf_counter()
     for _ in range(n_steps):
         hist, count, _ = sketch_stream_step_fused(
-            hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket, pallas=pallas
+            hist, count, dev_codes, dev_lengths, k=K, w=W, bucket=bucket,
+            pallas=pallas, compact=compact,
         )
     hb = np.asarray(hist).astype(np.float64)  # forces the whole chain
     ids = np.nonzero(hb)[0].astype(np.int64)

@@ -161,11 +161,14 @@ def fused_bits_ok(k: int, r: int) -> bool:
 
 
 def compact_default() -> bool:
-    """Whether the fused step's per-row sort compaction is on by default
-    (HULK_COMPACT_STEP=1/0 overrides; see stream_step_fused_body)."""
+    """Whether the fused step's per-row sort compaction is enabled
+    (HULK_COMPACT_STEP=1/0 overrides; see stream_step_fused_body). Default
+    ON: measured +27% grouped-step throughput at R=8192 and +19% at
+    R=16384 on v5e (scripts/step_variants.py, round 5), bit-equality
+    proven in tests and certified on hardware by the bench precheck."""
     import os
 
-    return os.environ.get("HULK_COMPACT_STEP", "0") == "1"
+    return os.environ.get("HULK_COMPACT_STEP", "1") == "1"
 
 
 # ---- 4-bit transfer packing -------------------------------------------------

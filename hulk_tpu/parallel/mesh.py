@@ -195,6 +195,12 @@ def sharded_flush_step(mesh: Mesh, decay_weight: float, apply_drift: bool, depth
     CMS state is an explicit carry so interval flushes compose like the
     reference's persistent CountMinSketch.
 
+    Drift decision record (round 5): the drift path below exists for the
+    mesh-scale building-block role only — measured 2.31 s on v5e vs 0.47 s
+    for the overlapped host native flush at 194k used bins, and the drift
+    selection is order-dependent (see docs/PERF.md "Decision record: no
+    drift-mode device flush"), so no production path selects it.
+
     Without drift the flush is FULLY PARALLEL — no per-element scan. The only
     cross-element dependency in the reference loop is the CMS counter state,
     and counters are sums of integer-valued f64 frequencies (exact under any

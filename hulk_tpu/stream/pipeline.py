@@ -46,7 +46,7 @@ class SketchConfig:
     hmh: bool = False  # HyperMinHash (beyond-reference extension)
     banner_label: str = "blank"
     file_name: str = ""
-    batch_size: int = 2048
+    batch_size: int = 0  # 0 -> auto: largest fused-step-capable R (<= 16384)
     chunk_size: int = 0  # declared-but-unused in the reference (pipeline.go:21)
     device_stream: bool | None = None  # None -> auto (on when backend != cpu)
     data_parallel: bool | None = None  # None -> auto (shard when >1 device)
@@ -62,6 +62,22 @@ class SketchConfig:
 
     def resolved_spectrum_size(self) -> int:
         return self.spectrum_size if self.spectrum_size else self.kmer_size ** 4
+
+    def resolved_batch_size(self) -> int:
+        """Auto batch size: the largest power-of-two R (<= 16384) whose read
+        ids still pack above the value bits for the fused single-sort step
+        (measured: R=16384 is ~20% faster than 8192 at k=21 — fixed
+        per-dispatch costs amortise); large k takes 2048 (the fused path is
+        unavailable at any R, and smaller batches bound the fallback's
+        padded intermediates)."""
+        if self.batch_size:
+            return self.batch_size
+        from hulk_tpu.ops.device_step import fused_bits_ok
+
+        r = 16384
+        while r > 2048 and not fused_bits_ok(self.kmer_size, r):
+            r //= 2
+        return r
 
 
 @dataclass
@@ -174,7 +190,7 @@ class _DeviceStream:
 
     @property
     def _R(self) -> int:
-        return self.cfg.batch_size
+        return self.cfg.resolved_batch_size()
 
     def _flush_staged(self) -> None:
         """Hand the staged group to the dispatch worker (bounded queue)."""
@@ -499,7 +515,7 @@ class _ShardedDeviceStream:
         padded stack, so per-shard carries are bit-identical to the
         per-batch path."""
         if hasattr(batch, "bucket"):
-            key = (self.cfg.batch_size, batch.bucket)
+            key = (self.cfg.resolved_batch_size(), batch.bucket)
         else:
             key = batch.codes.shape
         if self._staged and self._staged_key != key:
@@ -876,8 +892,11 @@ def run_sketch_pipeline(
     if cfg.device_flush:
         if cfg.decay_ratio != 1.0:
             raise PipelineError(
-                "device flush supports decayRatio=1.0 only (the drift scan's "
-                "replacement threshold evolves mid-flush; use the host flush)"
+                "device flush supports decayRatio=1.0 only (the drift "
+                "selection is order-dependent and a device scan measures "
+                "~5x slower than the overlapped host flush — decision "
+                "record in docs/PERF.md; the host flush handles drift "
+                "exactly at zero wall-time cost)"
             )
         if dev is None:
             raise PipelineError("device flush requires the device stream")
@@ -912,12 +931,15 @@ def run_sketch_pipeline(
                 resume_origin[0], resume_origin[1],
             )
         batches = batch_reads_native(
-            cfg.input_paths, batch_size=cfg.batch_size, cut_every=cut,
+            cfg.input_paths, batch_size=cfg.resolved_batch_size(),
+            cut_every=cut,
             fasta=cfg.fasta,
             raw=isinstance(dev, (_DeviceStream, _ShardedDeviceStream)), **kw,
         )
     else:
-        batches = batch_reads(reads, batch_size=cfg.batch_size, cut_every=cut)
+        batches = batch_reads(
+            reads, batch_size=cfg.resolved_batch_size(), cut_every=cut
+        )
 
     if resume_base and not seek_resume:
         def _skip_resumed(src, skip):
