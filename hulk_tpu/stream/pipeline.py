@@ -129,7 +129,18 @@ class _DeviceStream:
     kernel) so each (R, L) shape compiles exactly once.
     """
 
-    GROUP = 32
+    # reads per transfer group: big enough that the tunnel's ~80 ms fixed
+    # per-transfer cost amortises, small enough that several groups exist
+    # per timed window for parse/transfer/dispatch pipelining
+    GROUP_READS = 1 << 18
+
+    @property
+    def GROUP(self) -> int:
+        # clamp: 32 was the measured sweet spot up to R=8192 (262k reads
+        # per transfer); larger R keeps ~the same reads-per-group instead
+        # of doubling it (pipelining granularity), tiny test batches stay
+        # bounded
+        return min(32, max(4, self.GROUP_READS // self._R))
 
     def __init__(self, cfg: SketchConfig, nbins: int):
         import jax.numpy as jnp
@@ -505,7 +516,13 @@ class _ShardedDeviceStream:
             packed4=True,
         )
 
-    GROUP = _DeviceStream.GROUP
+    GROUP_READS = _DeviceStream.GROUP_READS
+
+    @property
+    def GROUP(self) -> int:
+        return min(
+            32, max(4, self.GROUP_READS // self.cfg.resolved_batch_size())
+        )
 
     def feed(self, batch) -> None:
         """Stage one batch (padded PackedReads or parser-strided RawReads);
@@ -962,7 +979,7 @@ def run_sketch_pipeline(
     if dev is not None:
         # queue depth covers a full transfer group plus the next one being
         # produced, so group staging never starves the device dispatch
-        batches = prefetch_batches(batches, depth=2 * type(dev).GROUP)
+        batches = prefetch_batches(batches, depth=2 * dev.GROUP)
 
     # Interval flushes on the device path run in a single background worker:
     # the host CWS/CMS scan (native, exact) overlaps the next interval's
