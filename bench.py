@@ -213,7 +213,8 @@ _STAGE_ALLOWANCE = {
     "backend_ok": 150.0,
     "input_ready": 300.0,  # may generate the 1M-read input (~10 s)
     "warmup_done": 420.0,
-    "throwaway_done": 240.0,  # one untimed full window over the real input
+    "throwaway_done": 240.0,  # untimed full windows over the real input
+    "throwaway2_done": 240.0,
     "precheck_done": 240.0,
     "e2e_0": 240.0,
     "e2e_1": 120.0,
@@ -366,15 +367,18 @@ def main() -> None:
     t_warm = time.perf_counter() - t0
     _stage("warmup_done")
 
-    # one UNTIMED throwaway window over the REAL input: pays every
+    # TWO untimed throwaway windows over the REAL input: they pay every
     # first-window cost the steady state doesn't carry — full-size gunzip
-    # buffer fault-in, OS page cache for the 61 MB input, tunnel TCP ramp
-    # and compressor dictionaries, residual compile-cache probes. Round-4
-    # trials ramped 5.35 -> 2.14 s because the first timed windows absorbed
-    # these; the timed trials below now all start warm (VERDICT r4 item 1b).
-    t0 = time.perf_counter()
+    # buffer fault-in, OS page cache for the 61 MB input, tunnel TCP ramp,
+    # compressor dictionaries, residual compile-cache probes, and the
+    # process allocator's heap growth (measured: the ramp spans ~2 windows
+    # — fresh-page faults stop once the heap high-water mark covers a full
+    # window's buffers). Round-4 trials ramped 5.35 -> 2.14 s because the
+    # timed windows absorbed all this (VERDICT r4 item 1b).
     throwaway, _, _ = run_end_to_end(path)
     _stage("throwaway_done")
+    throwaway2, _, _ = run_end_to_end(path)
+    _stage("throwaway2_done")
 
     exact = precheck_production_step(pallas)
     _stage("precheck_done")
@@ -398,7 +402,8 @@ def main() -> None:
     _stage("smash_done")
 
     print(
-        f"# warmup(compile): {t_warm:.1f}s; throwaway window: {throwaway:.2f}s; "
+        f"# warmup(compile): {t_warm:.1f}s; throwaway windows: "
+        f"{throwaway:.2f}s/{throwaway2:.2f}s; "
         f"e2e best-of-5: {dt:.2f}s, median {med:.2f}s "
         f"(trials {['%.2f' % t for t in trials]}; {n_reads} reads, "
         f"{n_min} minimizers); device-only: {dev_rate:,.0f} reads/s; "
@@ -416,13 +421,13 @@ def main() -> None:
         "unit": "reads/s",
         "vs_baseline": round(e2e / GO_BASELINE_READS_PER_S, 2),
         "extra": {
-            "headline_definition": "best of 5 timed windows after one untimed throwaway window; see e2e_median_reads_per_s / e2e_worst_reads_per_s for the spread",
+            "headline_definition": "best of 5 timed windows after two untimed throwaway windows; see e2e_median_reads_per_s / e2e_worst_reads_per_s for the spread",
             "device_only_reads_per_s": round(dev_rate, 1),
             "smash_wjd_cells_per_s": round(sm_rate, 1),
             "vs_go_ceiling_250k": round(e2e / GO_CEILING_READS_PER_S, 2),
             "median_vs_go_ceiling_250k": round(n_reads / med / GO_CEILING_READS_PER_S, 2),
             "warmup_compile_s": round(t_warm, 1),
-            "throwaway_window_s": round(throwaway, 2),
+            "throwaway_windows_s": [round(throwaway, 2), round(throwaway2, 2)],
             "exact_production_step": exact,
             "e2e_trials_s": [round(t, 2) for t in trials],
             "e2e_median_reads_per_s": round(n_reads / med, 1),
