@@ -22,6 +22,7 @@ def main(n_reads=10_000_000, interval=1_000_000):
     import hulk_tpu._jax_config  # noqa: F401
     from hulk_tpu.hashes.cws import get_cws_tables
     from hulk_tpu.ops.device_step import (
+        compact_default,
         pallas_supported,
         sketch_stream_step_fused,
         stream_bucket,
@@ -31,9 +32,10 @@ def main(n_reads=10_000_000, interval=1_000_000):
 
     K, W, S = 21, 9, 42
     NBINS = K ** 4
-    R, L, READ_LEN = 8192, 160, 150
+    R, L, READ_LEN = 16384, 160, 150  # production batch shape (round 5)
     DECAY = 0.9
     PALLAS = pallas_supported()
+    COMPACT = compact_default()
     BUCKET = stream_bucket(R, R * L)
 
     print(f"backend={jax.default_backend()} reads={n_reads} interval={interval} decay={DECAY} pallas={PALLAS}")
@@ -49,7 +51,8 @@ def main(n_reads=10_000_000, interval=1_000_000):
 
     def step(hist, count):
         hist, count, _ = sketch_stream_step_fused(
-            hist, count, dc, dl, k=K, w=W, bucket=BUCKET, pallas=PALLAS
+            hist, count, dc, dl, k=K, w=W, bucket=BUCKET, pallas=PALLAS,
+            compact=COMPACT,
         )
         return hist, count
 
