@@ -698,3 +698,29 @@ def test_group_step_compact_matches_plain(tables):
         outs.append([np.asarray(x) for x in out])
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_compact_width_invariants():
+    from hulk_tpu.ops.device_step import compact_width
+    from hulk_tpu.stream.fastq import DEFAULT_LENGTH_BUCKETS
+
+    for L in DEFAULT_LENGTH_BUCKETS:
+        for w in (1, 5, 9, 31, 256):
+            c = compact_width(L, w)
+            assert 0 < c <= L
+            # covers the expected live density with >= 1.5x headroom
+            assert c == L or c >= (3 * L) // (w + 1) + 16
+
+
+def test_auto_batch_size_fused_capable():
+    from hulk_tpu.ops.device_step import fused_bits_ok
+
+    for k in range(1, 32):
+        cfg = SketchConfig(kmer_size=k)
+        r = cfg.resolved_batch_size()
+        assert 2048 <= r <= 16384
+        # auto picks a fused-capable R whenever one exists at all
+        if fused_bits_ok(k, 2048):
+            assert fused_bits_ok(k, r)
+        # explicit sizes are honoured verbatim
+        assert SketchConfig(kmer_size=k, batch_size=512).resolved_batch_size() == 512
