@@ -628,6 +628,22 @@ def run_index(args) -> None:
     if args.run not in ("create", "add", "search"):
         _error_check(f"unknown index operation: {args.run} (use create/add/search)")
 
+    # backend-stall watchdog (search may engage device ranking; same
+    # rationale as run_sketch — file inputs, so re-exec is transparent)
+    import jax
+
+    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+
+    try:
+        ensure_backend_alive(allow_reexec=jax.process_count() == 1)
+    except BackendStallError as e:
+        from hulk_tpu.stream import watchdog as _wd
+
+        log.error("ERROR---> %s", e)
+        if _wd.unsafe_teardown():
+            os._exit(1)
+        raise SystemExit(1)
+
     sketch_dir = args.sketchDir
     if not sketch_dir.endswith("/"):
         sketch_dir += "/"
