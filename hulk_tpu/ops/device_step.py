@@ -107,11 +107,21 @@ def live_bucket(count: int, total: int, r: int) -> int:
     return min(b, total)
 
 
-def stream_bucket(r: int, total: int) -> int:
-    """Static compaction bucket for the sync-free stream step: covers every
-    realistic batch (~27 distinct minimizers per 150 bp read) with 20%+
-    headroom; rarer, denser batches take the exact full-width fallback."""
-    return min(32 * r, total)
+def stream_bucket(r: int, total: int, *, l: int | None = None,
+                  k: int | None = None, w: int | None = None) -> int:
+    """Static compaction bucket for the sync-free stream step.
+
+    Short buckets (<= 256 bp) keep the measured 32-per-read width (~27
+    live per 150 bp read + 18% headroom; the batch SUM concentrates hard —
+    sd ~sqrt(R)*3 lanes — so the margin is many sigma). Longer buckets
+    size from the actual density mean 2(l-k+1)/(w+1) with 1.2x headroom:
+    the fixed 32/read would put EVERY 1 kb+ batch on the full-width
+    fallback (expected ~200 minimizers/read). Denser-than-expected batches
+    still take the exact full-width branch via the in-kernel cond."""
+    if l is None or k is None or w is None or l <= 256:
+        return min(32 * r, total)
+    per = max(32, (12 * (l - k + 1)) // (5 * (w + 1)) + 8)
+    return min(per * r, total)
 
 
 def stream_step_body(hist, count, codes, lengths, *, k: int, w: int, bucket: int,

@@ -280,7 +280,9 @@ class _DeviceStream:
             self.hist, self.count, self.kmv_state, self.khf_state,
             self.hmh_regs, flatbuf,
             g=self.GROUP, r=r, l=l, k=cfg.kmer_size, w=cfg.window_size,
-            bucket=stream_bucket(r, r * (l + l % 2)), pallas=self.pallas,
+            bucket=stream_bucket(r, r * (l + l % 2), l=l,
+                                 k=cfg.kmer_size, w=cfg.window_size),
+            pallas=self.pallas,
             use_kmv=cfg.kmv, use_khf=cfg.khf, use_hmh=cfg.hmh,
             hmh_pqr=self.hmh_pqr, packed2=packed2, compact=compact_default(),
         )
@@ -309,7 +311,8 @@ class _DeviceStream:
             lengths,
             k=cfg.kmer_size,
             w=cfg.window_size,
-            bucket=stream_bucket(r, r * l),
+            bucket=stream_bucket(r, r * l, l=l, k=cfg.kmer_size,
+                                 w=cfg.window_size),
             pallas=self.pallas,
             packed4=True,
         )
@@ -507,7 +510,10 @@ class _ShardedDeviceStream:
             self.mesh,
             k=cfg.kmer_size,
             w=cfg.window_size,
-            bucket=stream_bucket(r // ndev, (r // ndev) * (l + l % 2)),
+            bucket=stream_bucket(
+                r // ndev, (r // ndev) * (l + l % 2), l=l,
+                k=cfg.kmer_size, w=cfg.window_size,
+            ),
             pallas=self.pallas,
             use_kmv=cfg.kmv,
             use_khf=cfg.khf,
@@ -596,7 +602,8 @@ class _ShardedDeviceStream:
             step = self._steps[(rs, l, packed2)] = make_sharded_group_step(
                 self.mesh, g=self.GROUP, r=rs, l=l, k=cfg.kmer_size,
                 w=cfg.window_size,
-                bucket=stream_bucket(rs, rs * (l + l % 2)),
+                bucket=stream_bucket(rs, rs * (l + l % 2), l=l,
+                                     k=cfg.kmer_size, w=cfg.window_size),
                 pallas=self.pallas, use_kmv=cfg.kmv, use_khf=cfg.khf,
                 use_hmh=cfg.hmh, hmh_pqr=self._hmh_pqr, packed2=packed2,
                 compact=compact_default(),
@@ -709,16 +716,20 @@ _hist_add_jit = None
 def _merge_host_hist(hist, spectrum):
     """Add the host spectrum's counts (long-read contributions) onto a
     device-resident histogram and wipe the host side — the device-flush
-    path's merge point (exact: integer counts)."""
+    path's merge point (exact: integer counts).
+
+    The device_put source MUST be an owned copy: on the CPU backend
+    device_put can alias the numpy buffer zero-copy, and wiping
+    spectrum.bins before the (async) add executes would silently zero the
+    transferred counts (observed as a whole-sketch mismatch whose
+    occurrence depended on allocator state). astype always copies."""
     global _hist_add_jit
     import jax
-    import jax.numpy as jnp
 
     if _hist_add_jit is None:
-        _hist_add_jit = jax.jit(
-            lambda a, b: a + b.astype(jnp.int32), donate_argnums=(0,)
-        )
-    out = _hist_add_jit(hist, jax.device_put(spectrum.bins))
+        _hist_add_jit = jax.jit(lambda a, b: a + b, donate_argnums=(0,))
+    host = spectrum.bins.astype(np.int32)  # owned copy, kept alive by jax
+    out = _hist_add_jit(hist, jax.device_put(host))
     spectrum.wipe()
     return out
 
@@ -777,8 +788,11 @@ class _DeviceFlusher:
             cms_row_bins_table(nbins, depth, width).astype(np.int32)
         )
         self.tables = shard_tables(self.mesh, hs.cws)
-        # carry initialised from the host CMS (nonzero after checkpoint resume)
-        self.cms = jax.device_put(jnp.asarray(hs.cms.sketch, dtype=jnp.float64))
+        # carry initialised from the host CMS (nonzero after checkpoint
+        # resume). OWNED copy: device_put on the CPU backend can alias the
+        # numpy buffer, and the host fallback flush mutates hs.cms.sketch
+        # in place (see _merge_host_hist's aliasing note).
+        self.cms = jax.device_put(hs.cms.sketch.astype(np.float64).copy())
 
     def flush_from(self, hist) -> None:
         """Consume a device-resident [nbins] histogram (reference flush
@@ -805,7 +819,9 @@ class _DeviceFlusher:
         h = np.asarray(hist).astype(np.float64)
         ids = np.nonzero(h)[0].astype(np.int64)
         self.hs.add_elements(ids, h[ids])
-        self.cms = jax.device_put(np.asarray(self.hs.cms.sketch, dtype=np.float64))
+        # owned copy (aliasing note above): hs.cms.sketch mutates in place
+        # on the next fallback flush
+        self.cms = jax.device_put(self.hs.cms.sketch.astype(np.float64).copy())
 
     def sync_cms(self) -> None:
         """Pull the device CMS carry into hs (checkpoints / end of run)."""

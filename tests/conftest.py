@@ -24,3 +24,17 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_platforms", "cpu")
+
+# Tests must NOT read the repo-shipped .jax_cache: it holds executables
+# compiled on OTHER machines (prior driver/judge hosts) for the TPU bench's
+# warm start, and XLA:CPU AOT results with mismatched host features load
+# with a "could lead to execution errors" warning — a flake source. Tests
+# compile into their own per-machine cache instead (hulk_tpu._jax_config
+# may already have been imported transitively, so override its choice).
+import tempfile  # noqa: E402
+
+import hulk_tpu._jax_config  # noqa: E402, F401
+
+_test_cache = os.path.join(tempfile.gettempdir(), "hulk_tpu_test_jax_cache")
+os.makedirs(_test_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
