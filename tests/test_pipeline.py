@@ -724,3 +724,34 @@ def test_auto_batch_size_fused_capable():
             assert fused_bits_ok(k, r)
         # explicit sizes are honoured verbatim
         assert SketchConfig(kmer_size=k, batch_size=512).resolved_batch_size() == 512
+
+
+def test_long_bucket_stream_step_equal():
+    """1 kb reads: the length-aware bucket (stream_bucket with l/k/w) must
+    keep the compacted branch exact — and actually engage it (the fixed
+    32/read bucket would throw every such batch to the full-width branch)."""
+    import jax.numpy as jnp
+
+    from hulk_tpu.ops.device_step import (
+        sketch_stream_step_fused,
+        stream_bucket,
+    )
+    from hulk_tpu.ops.minimizer import minimizer_scan
+    from hulk_tpu.sketch.spectrum import KmerSpectrum
+
+    kk, ww, ll, rl = 21, 9, 1024, 1000
+    r = 32
+    codes, lengths = _rand_codes(r, ll, rl, seed=77)
+    bucket = stream_bucket(r, r * ll, l=ll, k=kk, w=ww)
+    assert 32 * r < bucket < r * ll  # the new sizing engaged
+    hist = jnp.zeros(21 ** 4, dtype=jnp.int32)
+    count = jnp.zeros((), dtype=jnp.int64)
+    hist, count, _ = sketch_stream_step_fused(
+        hist, count, codes, lengths, k=kk, w=ww, bucket=bucket, compact=True,
+    )
+    vals, mask = minimizer_scan(codes, lengths, k=kk, w=ww)
+    flat = np.asarray(vals)[np.asarray(mask)]
+    host = KmerSpectrum(21 ** 4)
+    host.add_hashes(flat)
+    np.testing.assert_array_equal(np.asarray(hist).astype(np.float64), host.bins)
+    assert int(count) == flat.shape[0]
