@@ -273,8 +273,13 @@ def stream_step_fused_body(hist, count, codes, lengths, *, k: int, w: int,
     R, L = codes.shape
     vbits = 2 * k + 8
     if pallas:
-        from hulk_tpu.ops.minimizer_pallas import minimizer_window_pallas
+        from hulk_tpu.ops.minimizer_pallas import (
+            minimizer_window_pallas,
+            pallas_window_ok,
+        )
 
+        pallas = pallas_window_ok(L)
+    if pallas:
         wmin, report = minimizer_window_pallas(codes, lengths, k=k, w=w)
     else:
         wmin, report = minimizer_window(codes, lengths, k=k, w=w)

@@ -158,8 +158,13 @@ def minimizer_scan(codes, lengths, *, k: int, w: int, pallas: bool = False):
     """
     R, L = codes.shape
     if pallas:
-        from hulk_tpu.ops.minimizer_pallas import minimizer_window_pallas
+        from hulk_tpu.ops.minimizer_pallas import (
+            minimizer_window_pallas,
+            pallas_window_ok,
+        )
 
+        pallas = pallas_window_ok(L)
+    if pallas:
         wmin, report = minimizer_window_pallas(codes, lengths, k=k, w=w)
     else:
         wmin, report = minimizer_window(codes, lengths, k=k, w=w)

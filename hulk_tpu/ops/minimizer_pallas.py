@@ -201,14 +201,37 @@ def _minimizer_kernel(k: int, w: int, L: int, codes_ref, len_ref,
     rep_ref[:] = report.astype(I32)
 
 
+# rows*columns budget per VMEM block: the kernel holds ~30 live u32
+# [bm, L] intermediates (measured: a [256, 1024] block allocates ~31 MB of
+# scoped VMEM vs the 16 MB limit), so bm*L <= 2^16 keeps blocks under
+# ~8 MB with margin. Above PALLAS_MAX_L even an 8-row block busts the
+# budget — callers take the XLA window instead (pallas_window_ok).
+_BLOCK_ELEMS = 1 << 16
+PALLAS_MAX_L = 8192
+
+
+def pallas_window_ok(l: int) -> bool:
+    """Can the Mosaic window kernel run at this padded read length?"""
+    return (l + (-l) % 128) <= PALLAS_MAX_L
+
+
+def _auto_block_rows(L: int) -> int:
+    return min(256, max(8, (_BLOCK_ELEMS // L) & ~7))
+
+
 @partial(jax.jit, static_argnames=("k", "w", "block_rows", "interpret"))
 def minimizer_window_pallas(codes, lengths, *, k: int, w: int,
-                            block_rows: int = 256, interpret: bool = False):
+                            block_rows: int | None = None,
+                            interpret: bool = False):
     """Pallas form of minimizer_window. codes: [R, L] integer codes (any int
     dtype), lengths: [R] int32. Inputs are padded internally to the lane/
     sublane granule (columns with pad code 5 are outside every read; extra
-    rows have length 0). Returns (wmin [R, L] uint64, report [R, L] bool)."""
+    rows have length 0). block_rows=None auto-sizes the VMEM block to the
+    read length (see _BLOCK_ELEMS). Returns (wmin [R, L] uint64,
+    report [R, L] bool)."""
     R0, L0 = codes.shape
+    if block_rows is None:
+        block_rows = _auto_block_rows(L0 + (-L0) % 128)
     pad_r = (-R0) % block_rows
     pad_l = (-L0) % 128
     if pad_r or pad_l:
