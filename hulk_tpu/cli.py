@@ -214,19 +214,9 @@ def run_sketch(args) -> None:
     # path before consuming input; a wedged tunnel connection re-execs the
     # process (fresh connection) instead of hanging forever. Re-exec is
     # only transparent for single-process, file-input runs.
-    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+    from hulk_tpu.stream.watchdog import guard_backend
 
-    try:
-        ensure_backend_alive(
-            allow_reexec=bool(fastq) and jax.process_count() == 1
-        )
-    except BackendStallError as e:
-        from hulk_tpu.stream import watchdog as _wd
-
-        log.error("ERROR---> %s", e)
-        if _wd.unsafe_teardown():
-            os._exit(1)  # abandoned native probe thread aborts teardown
-        raise SystemExit(1)
+    guard_backend(log, allow_reexec=bool(fastq) and jax.process_count() == 1)
 
     log.info("initialising sketching pipeline...")
     log.info("finding minimizers...")
@@ -346,17 +336,9 @@ def run_smash(args) -> None:
     # backend-stall watchdog (same rationale as run_sketch; smash's device
     # kernels hit the same data path). Inputs are files, so re-exec is
     # always transparent for single-process runs.
-    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+    from hulk_tpu.stream.watchdog import guard_backend
 
-    try:
-        ensure_backend_alive(allow_reexec=jax.process_count() == 1)
-    except BackendStallError as e:
-        from hulk_tpu.stream import watchdog as _wd
-
-        log.error("ERROR---> %s", e)
-        if _wd.unsafe_teardown():
-            os._exit(1)  # abandoned native probe thread aborts teardown
-        raise SystemExit(1)
+    guard_backend(log, allow_reexec=jax.process_count() == 1)
 
     # multi-host smash: shard the JSON loads round-robin, allgather the
     # [n_i, s] mins+weights, shard the matrix row blocks per process (each
@@ -632,17 +614,9 @@ def run_index(args) -> None:
     # rationale as run_sketch — file inputs, so re-exec is transparent)
     import jax
 
-    from hulk_tpu.stream.watchdog import BackendStallError, ensure_backend_alive
+    from hulk_tpu.stream.watchdog import guard_backend
 
-    try:
-        ensure_backend_alive(allow_reexec=jax.process_count() == 1)
-    except BackendStallError as e:
-        from hulk_tpu.stream import watchdog as _wd
-
-        log.error("ERROR---> %s", e)
-        if _wd.unsafe_teardown():
-            os._exit(1)
-        raise SystemExit(1)
+    guard_backend(log, allow_reexec=jax.process_count() == 1)
 
     sketch_dir = args.sketchDir
     if not sketch_dir.endswith("/"):

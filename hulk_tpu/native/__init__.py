@@ -566,9 +566,12 @@ class NativeFastaPacker:
         self._leftover = b""
         # long-record mode: [parts...] of an in-progress record whose total
         # exceeds cap_len (contigs have no length cap); None when the
-        # native strided path owns the carry
+        # native strided path owns the carry. Pre-header junk is tracked by
+        # LENGTH only (_long_junk) — it is always discarded, so memory
+        # stays bounded however large the junk prefix is.
         self._long_parts: list | None = None
         self._long_header = False
+        self._long_junk = 0
 
     def feed(self, chunk):
         if isinstance(chunk, np.ndarray):  # whole-buffer gunzip path
@@ -606,10 +609,17 @@ class NativeFastaPacker:
                 self.state[:] = saved_state
                 self.carry[: saved_carry.shape[0]] = saved_carry
                 if self.stride >= self.cap_len:
-                    self._long_parts = [
-                        self.carry[: int(self.state[2])].copy()
-                    ]
                     self._long_header = bool(self.state[0])
+                    if self._long_header:
+                        self._long_parts = [
+                            self.carry[: int(self.state[2])].copy()
+                        ]
+                        self._long_junk = 0
+                    else:
+                        # pre-header junk is NEVER emitted (discarded at the
+                        # first '>'): track only its length, bounding memory
+                        self._long_parts = []
+                        self._long_junk = int(self.state[2])
                     self.state[2] = 0
                     continue
                 self.stride = min(self.stride * 4, self.cap_len)
@@ -663,21 +673,28 @@ class NativeFastaPacker:
                 self.state[1] = 1  # terminated: rest of file is discarded
                 return n
             if buf[s] == 0x3E:  # '>': record boundary
-                was_long = False
+                resolved = False
                 if self._long_header:
-                    was_long = self._emit_long_record(out)
+                    resolved = self._emit_long_record(out)
+                elif self._long_junk >= self.cap_len:
+                    # the discarded junk prefix WAS the overflow cause:
+                    # nothing long lies ahead necessarily — hand back
+                    resolved = True
                 # (pre-header accumulation is discarded at the first '>')
                 self._long_parts = []
+                self._long_junk = 0
                 self._long_header = True
-                if was_long:
+                if resolved:
                     # overflow resolved: native path resumes at this header
                     self._long_parts = None
                     self._long_header = False
                     self.state[0] = 1
                     self.state[2] = 0
                     return e + 1
-            else:
+            elif self._long_header:
                 self._long_parts.append(nt4[buf[s:le]])
+            else:
+                self._long_junk += le - s  # junk: length only (discarded)
             s = e + 1
         return n  # record spans feeds: stay in the Python loop
 

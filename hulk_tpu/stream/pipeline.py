@@ -789,10 +789,11 @@ class _DeviceFlusher:
         )
         self.tables = shard_tables(self.mesh, hs.cws)
         # carry initialised from the host CMS (nonzero after checkpoint
-        # resume). OWNED copy: device_put on the CPU backend can alias the
-        # numpy buffer, and the host fallback flush mutates hs.cms.sketch
-        # in place (see _merge_host_hist's aliasing note).
-        self.cms = jax.device_put(hs.cms.sketch.astype(np.float64).copy())
+        # resume). astype(copy=True-by-default) yields an OWNED buffer:
+        # device_put on the CPU backend can alias numpy memory, and the
+        # host fallback flush mutates hs.cms.sketch in place (see
+        # _merge_host_hist's aliasing note).
+        self.cms = jax.device_put(hs.cms.sketch.astype(np.float64))
 
     def flush_from(self, hist) -> None:
         """Consume a device-resident [nbins] histogram (reference flush
@@ -819,9 +820,11 @@ class _DeviceFlusher:
         h = np.asarray(hist).astype(np.float64)
         ids = np.nonzero(h)[0].astype(np.int64)
         self.hs.add_elements(ids, h[ids])
-        # owned copy (aliasing note above): hs.cms.sketch mutates in place
-        # on the next fallback flush
-        self.cms = jax.device_put(self.hs.cms.sketch.astype(np.float64).copy())
+        # astype returns an owned copy (aliasing note above):
+        # hs.cms.sketch mutates in place on the next fallback flush
+        self.cms = jax.device_put(
+            self.hs.cms.sketch.astype(np.float64, copy=True)
+        )
 
     def sync_cms(self) -> None:
         """Pull the device CMS carry into hs (checkpoints / end of run)."""
@@ -1025,8 +1028,12 @@ def run_sketch_pipeline(
                 # histogram contribution rides the host `spectrum` and is
                 # merged at flush (drain_into adds device counts to it; the
                 # device-flush path adds it onto the device histogram).
+                # The background interval-flush worker owns `spectrum` while
+                # a flush is pending (dump+wipe, flush() below) — wait it
+                # out before touching the spectrum from this thread.
                 from hulk_tpu.ops.longread import long_read_minimizers
 
+                wait_flush()
                 L = int(batch.codes.shape[0])
                 if L < w + k - 1:
                     raise PipelineError("sequence length must be >= w + k - 1")

@@ -179,6 +179,20 @@ def ensure_backend_alive(
     )
 
 
+def guard_backend(logger, *, allow_reexec: bool) -> None:
+    """CLI-facing wrapper around ensure_backend_alive: on a stall with no
+    retries left, log the reference-style fatal and exit — via os._exit
+    when an abandoned native probe thread makes interpreter teardown abort
+    (SIGABRT), SystemExit(1) otherwise."""
+    try:
+        ensure_backend_alive(allow_reexec=allow_reexec)
+    except BackendStallError as e:
+        logger.error("ERROR---> %s", e)
+        if unsafe_teardown():
+            os._exit(1)
+        raise SystemExit(1) from None
+
+
 def _default_reexec() -> None:
     """Replace this process with a fresh run of the same command line.
 

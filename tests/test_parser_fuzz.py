@@ -150,3 +150,33 @@ def test_fastq_fuzz_gz_drip(tmp_path):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         np.testing.assert_array_equal(g, w)
+
+
+@needs_native
+def test_fasta_huge_preheader_junk_returns_to_native(tmp_path):
+    """A junk prefix past the stride cap must not trap the parser in the
+    Python record loop: after the discard at the first '>', normal records
+    batch natively again (and the junk itself is never held in memory)."""
+    rng = np.random.default_rng(400)
+    junk = b"\n".join(
+        _rand_seq_bytes(rng, 80) for _ in range(3 + (2 * CAP) // 80)
+    )
+    recs = [(i, _rand_seq_bytes(rng, 60 + i)) for i in range(12)]
+    payload = junk + b"\n" + b"".join(
+        b">c%d\n%s\n" % (i, s) for i, s in recs
+    )
+    path = str(tmp_path / "junk.fa")
+    with open(path, "wb") as fh:
+        fh.write(payload)
+    want = _expected(payload, fasta=True)
+    got = _native_records(path, fasta=True)
+    assert len(want) == 12
+    assert len(got) == 12
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+    # native batching resumed: the first batch after the junk is FULL
+    # (8 records), not the Python loop's single-record pairs
+    first = next(iter(batch_reads_native(
+        [path], batch_size=8, max_read_len=CAP, fasta=True
+    )))
+    assert not isinstance(first, LongRead) and first.reads_in_file_end == 8
