@@ -79,3 +79,27 @@ def test_production_equals_literal_oracle(reads, tables, decay, interval):
             weights.view(np.uint64),
             np.asarray(o_weights, dtype=np.float64).view(np.uint64),
         ), f"sketch weights (device={device})"
+
+
+@pytest.mark.parametrize("interval", [0, 7])
+def test_mixed_length_bucket_churn_matches_oracle(tables, interval):
+    """Reads spread across many length buckets in shuffled order: every
+    bucket switch flushes the staged transfer group mid-stream, and the
+    interval (not aligned to batch or group sizes) must still cut at exact
+    global read indices."""
+    rng = np.random.default_rng(17)
+    reads = []
+    for _ in range(90):
+        n = int(rng.choice([K + W - 1, 40, 120, 130, 200, 300, 600, 1100]))
+        bases = rng.choice(list(b"ACGTN"), size=n, p=[0.2425] * 4 + [0.03])
+        reads.append(bytes(bases.tolist()))
+    got_m, got_w, got_c = run_production(
+        reads, tables, decay=0.9, interval=interval, device=True
+    )
+    want_m, want_w, want_c = oracle_sketch_pipeline(
+        reads, k=K, w=W, sketch_size=S, nbins=DIMS, decay_ratio=0.9,
+        interval=interval, tables=tables,
+    )
+    assert got_c == want_c
+    np.testing.assert_array_equal(got_m, np.array(want_m, dtype=np.uint64))
+    np.testing.assert_array_equal(got_w, np.array(want_w))
