@@ -94,6 +94,11 @@ def make_sharded_stream_step(
             hmh = hmh_update(hmh, svals, p=p, q=q, r=r)
         return hist[None], count[None], kmv[None], khf[None], hmh[None]
 
+    # check_vma=False: pallas_call inside shard_map cannot express output
+    # VMA in this jax version (ShapeDtypeStruct vma=None is rejected with
+    # check_vma=True on real TPU — CPU dryruns never engage Pallas, which
+    # is why only hardware runs hit it). Correctness is unaffected: every
+    # in/out is explicitly dp-sharded with no cross-shard communication.
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -102,6 +107,7 @@ def make_sharded_stream_step(
             P("dp", None), P("dp", None), P("dp", None),
         ),
         out_specs=(P("dp", None), P("dp"), P("dp", None), P("dp", None), P("dp", None)),
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1, 4, 5, 6))
 
@@ -145,6 +151,8 @@ def make_sharded_group_step(
         )
         return h[None], c[None], s1[None], s2[None], hm[None]
 
+    # check_vma=False: see make_sharded_stream_step (Pallas inside
+    # shard_map on real TPU)
     sharded = jax.shard_map(
         local,
         mesh=mesh,
@@ -156,6 +164,7 @@ def make_sharded_group_step(
             P("dp", None), P("dp"), P("dp", None), P("dp", None),
             P("dp", None),
         ),
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1, 2, 3, 4))
 
