@@ -131,6 +131,24 @@ def warmup(path_small: str) -> None:
     run_end_to_end(path_small)
 
 
+def wire_probe_mb_s() -> float:
+    """Effective host->device wire bandwidth right now: one 32 MB
+    incompressible transfer, timed to materialisation. The tunnel's wire
+    swings 15-70 MB/s between windows and is the e2e limiter when slow —
+    reporting it makes a low-median BENCH run self-explanatory."""
+    import jax
+
+    rng = np.random.default_rng(11)
+    payload = rng.integers(0, 256, 32 << 20, dtype=np.uint8)  # incompressible
+    x = jax.device_put(payload[: 1 << 20])
+    _ = np.asarray(x[:8])  # settle the connection
+    t0 = time.perf_counter()
+    x = jax.device_put(payload)
+    _ = np.asarray(x[:8])  # forces the transfer through the stream
+    dt = time.perf_counter() - t0
+    return payload.nbytes / dt / 1e6
+
+
 def device_only_rate() -> float:
     """The round-1/2 style number: pre-staged batches, device step + final
     exact flush only (excludes parse/pack/H2D)."""
@@ -407,6 +425,7 @@ def main() -> None:
 
     dev_rate = device_only_rate()
     _stage("device_only_done")
+    wire = wire_probe_mb_s() if backend != "cpu" else 0.0
     sm_rate = smash_rate()
     _stage("smash_done")
 
@@ -435,6 +454,7 @@ def main() -> None:
             "smash_wjd_cells_per_s": round(sm_rate, 1),
             "vs_go_ceiling_250k": round(e2e / GO_CEILING_READS_PER_S, 2),
             "median_vs_go_ceiling_250k": round(n_reads / med / GO_CEILING_READS_PER_S, 2),
+            "wire_probe_mb_s": round(wire, 1),
             "warmup_compile_s": round(t_warm, 1),
             "throwaway_windows_s": [round(throwaway, 2), round(throwaway2, 2)],
             "exact_production_step": exact,
