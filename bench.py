@@ -90,7 +90,8 @@ def precheck_production_step(pallas: bool) -> bool:
     count = jnp.zeros((), dtype=jnp.int64)
     hist, count, _ = sketch_stream_step_fused(
         hist, count, jax.device_put(codes), jax.device_put(lengths),
-        k=K, w=W, bucket=stream_bucket(r, r * L_BUCKET), pallas=pallas,
+        k=K, w=W, bucket=stream_bucket(r, r * L_BUCKET, l=L_BUCKET, k=K, w=W),
+        pallas=pallas,
         compact=compact_default(),
     )
     dev_hist = np.asarray(hist).astype(np.float64)
@@ -170,7 +171,7 @@ def device_only_rate() -> float:
     lengths = np.full(BATCH, READ_LEN, dtype=np.int32)
     dev_codes = jax.device_put(codes)
     dev_lengths = jax.device_put(lengths)
-    bucket = stream_bucket(BATCH, BATCH * L_BUCKET)
+    bucket = stream_bucket(BATCH, BATCH * L_BUCKET, l=L_BUCKET, k=K, w=W)
     pallas = pallas_supported()
     compact = compact_default()
 

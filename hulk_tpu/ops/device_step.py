@@ -111,16 +111,25 @@ def stream_bucket(r: int, total: int, *, l: int | None = None,
                   k: int | None = None, w: int | None = None) -> int:
     """Static compaction bucket for the sync-free stream step.
 
-    Short buckets (<= 256 bp) keep the measured 32-per-read width (~27
-    live per 150 bp read + 18% headroom; the batch SUM concentrates hard —
-    sd ~sqrt(R)*3 lanes — so the margin is many sigma). Longer buckets
-    size from the actual density mean 2(l-k+1)/(w+1) with 1.2x headroom:
-    the fixed 32/read would put EVERY 1 kb+ batch on the full-width
-    fallback (expected ~200 minimizers/read). Denser-than-expected batches
-    still take the exact full-width branch via the in-kernel cond."""
-    if l is None or k is None or w is None or l <= 256:
+    With (l, k, w) known, the per-read width sizes from the density mean
+    m = 2(l-k+1)/(w+1) — itself a slight OVERestimate of true live lanes
+    (measured 27.1 vs m=28 at 150 bp/k21/w9) — times 1.03, plus ceil(64/r)
+    absolute slack for small batches. The batch SUM concentrates hard
+    (sd ~ 3*sqrt(r) lanes), so the margin is tens of sigma at production
+    r; a 28-32/read sweep on v5e measured the jump+scatter width as the
+    last stream lever (1.80M -> 1.92M reads/s at the production shape).
+    This also fixes a silent cliff the old fixed 32/read had: any bucket
+    whose density mean exceeds it (1 kb reads at any k; 256 bp reads at
+    small k) landed EVERY batch on the full-width fallback. Denser-than-
+    expected batches still take the exact full-width branch via the
+    in-kernel cond. Without (l, k, w) (legacy callers) the measured
+    32/read stands."""
+    if l is None or k is None or w is None:
         return min(32 * r, total)
-    per = max(32, (12 * (l - k + 1)) // (5 * (w + 1)) + 8)
+    per = max(
+        16,
+        (2 * max(l - k + 1, 0) * 103) // ((w + 1) * 100) + 1 + (-(-64 // r)),
+    )
     return min(per * r, total)
 
 

@@ -65,7 +65,8 @@ def stream_rate(ndev: int, n_steps: int) -> tuple[float, np.ndarray]:
     dl = jax.device_put(lengths, sh1)
 
     step = make_sharded_stream_step(
-        mesh, k=K, w=W, bucket=stream_bucket(R_PER_DEV, R_PER_DEV * L),
+        mesh, k=K, w=W,
+        bucket=stream_bucket(R_PER_DEV, R_PER_DEV * L, l=L, k=K, w=W),
         pallas=pallas_supported(),
     )
 

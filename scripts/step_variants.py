@@ -44,7 +44,8 @@ def measure(R: int, compact: bool, n_groups: int) -> float:
     dflat = jax.device_put(flat)
     pallas = pallas_supported()
     kw = dict(
-        g=G, r=R, l=L, k=K, w=W, bucket=stream_bucket(R, R * L),
+        g=G, r=R, l=L, k=K, w=W,
+        bucket=stream_bucket(R, R * L, l=L, k=K, w=W),
         pallas=pallas, compact=compact,
     )
 

@@ -36,7 +36,7 @@ def main(n_reads=10_000_000, interval=1_000_000):
     DECAY = 0.9
     PALLAS = pallas_supported()
     COMPACT = compact_default()
-    BUCKET = stream_bucket(R, R * L)
+    BUCKET = stream_bucket(R, R * L, l=L, k=K, w=W)
 
     print(f"backend={jax.default_backend()} reads={n_reads} interval={interval} decay={DECAY} pallas={PALLAS}")
     tables = get_cws_tables(S, NBINS)
